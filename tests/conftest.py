@@ -1,15 +1,24 @@
 """Test configuration: force the CPU backend with 8 virtual devices so the
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+Note: this image preloads a TPU PJRT plugin via sitecustomize and pins
+``JAX_PLATFORMS=axon`` in the environment, so a plain ``setdefault`` is not
+enough — we must overwrite the platform through ``jax.config`` (jax reads
+the env var at import time, which happens before pytest collects us).
+"""
 
 import os
 
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -18,3 +27,12 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def vgg_model_and_vars():
+    """One real vgg2016 init shared by every test that needs numerics
+    (XLA CPU compiles are expensive on small CI hosts)."""
+    from torch_ekpose_tpu.models import init_model
+
+    return init_model("vgg2016", input_shape=(1, 64, 64, 3))

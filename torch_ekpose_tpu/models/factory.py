@@ -1,0 +1,126 @@
+"""Model factory: name → OpenPose network.
+
+Mirrors the eight named variants of the reference factory
+(lib/network/networks.py:10-68) including their width multipliers.
+Checkpoint loading is handled separately by
+:mod:`torch_ekpose_tpu.runtime.checkpoint` (the reference folds it into
+the factory via ``pretrained_path`` / ``imagenet_pretrained``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torch_ekpose_tpu.models.heads import CpmHead, OpenPose
+from torch_ekpose_tpu.models.layers import depth_fn
+from torch_ekpose_tpu.models.mobilenet import MobileNetBackbone
+from torch_ekpose_tpu.models.mobilenet_v2 import MobileNetV2Backbone
+from torch_ekpose_tpu.models.shufflenet_v2 import ShuffleNetV2Backbone
+from torch_ekpose_tpu.models.vgg import VGG19Backbone
+
+
+def _vgg(dtype) -> OpenPose:
+    return OpenPose(
+        backbone=functools.partial(VGG19Backbone, dtype=dtype),
+        head=functools.partial(CpmHead, branch="vgg", dtype=dtype),
+    )
+
+
+def _mobilenet(dtype, conv_width: float, conv_width2: float) -> OpenPose:
+    return OpenPose(
+        backbone=functools.partial(
+            MobileNetBackbone, conv_width=conv_width, dtype=dtype
+        ),
+        head=functools.partial(
+            CpmHead, branch="ds", width=depth_fn(conv_width2), dtype=dtype
+        ),
+    )
+
+
+def _mobilenet_v2(dtype, conv_width: float, conv_width2: float) -> OpenPose:
+    return OpenPose(
+        backbone=functools.partial(
+            MobileNetV2Backbone, conv_width=conv_width, dtype=dtype
+        ),
+        head=functools.partial(
+            CpmHead, branch="ds", width=depth_fn(conv_width2), dtype=dtype
+        ),
+    )
+
+
+def _shufflenet_v2(dtype, conv_width: float, conv_width2: float) -> OpenPose:
+    return OpenPose(
+        backbone=functools.partial(
+            ShuffleNetV2Backbone, conv_width=conv_width, dtype=dtype
+        ),
+        head=functools.partial(
+            CpmHead, branch="ds", width=depth_fn(conv_width2), dtype=dtype
+        ),
+    )
+
+
+#: name -> builder(dtype) (reference lib/network/networks.py:15-68).
+MODEL_REGISTRY = {
+    "vgg2016": _vgg,
+    "mobilenet": functools.partial(_mobilenet, conv_width=1.0, conv_width2=1.0),
+    "mobilenet_thin": functools.partial(
+        _mobilenet, conv_width=0.75, conv_width2=0.50
+    ),
+    "mobilenetV2": functools.partial(
+        _mobilenet_v2, conv_width=1.0, conv_width2=1.0
+    ),
+    "mobilenetV2_large": functools.partial(
+        _mobilenet_v2, conv_width=1.4, conv_width2=1.0
+    ),
+    "mobilenetV2_small": functools.partial(
+        _mobilenet_v2, conv_width=0.50, conv_width2=0.50
+    ),
+    "shufflenetV2_1.0x": functools.partial(
+        _shufflenet_v2, conv_width=1.0, conv_width2=1.0
+    ),
+    "shufflenetV2_0.5x": functools.partial(
+        _shufflenet_v2, conv_width=0.5, conv_width2=0.5
+    ),
+}
+
+
+def get_model(model_name: str = "vgg2016", dtype=jnp.float32) -> OpenPose:
+    """Build an OpenPose network by name.
+
+    ``dtype`` is the activation/compute dtype; parameters are always
+    float32. Raises KeyError with the known names on a typo (the reference
+    silently returns None, networks.py:10-68).
+    """
+    try:
+        builder = MODEL_REGISTRY[model_name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model {model_name!r}; available: {sorted(MODEL_REGISTRY)}"
+        ) from None
+    return builder(dtype)
+
+
+def init_model(
+    model_name: str,
+    rng: Optional[jax.Array] = None,
+    input_shape: Tuple[int, int, int, int] = (1, 368, 368, 3),
+    dtype=jnp.float32,
+) -> Tuple[Any, Dict]:
+    """Build and initialize; returns (module, variables).
+
+    ``variables`` contains ``params`` and, for BN-using backbones,
+    ``batch_stats``.
+    """
+    model = get_model(model_name, dtype=dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    # jit the whole init so XLA compiles one fused program instead of one
+    # tiny program per parameter initializer (orders of magnitude faster).
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = jax.device_get(init_fn(rng, jnp.zeros(input_shape, dtype)))
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables

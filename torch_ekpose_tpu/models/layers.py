@@ -1,0 +1,145 @@
+"""Shared conv building blocks (flax.linen, NHWC).
+
+TPU-native design notes:
+- NHWC layout throughout; XLA's TPU conv emitter maps these onto the MXU
+  as implicit GEMMs.
+- Parameters live in float32; activations are computed in a configurable
+  ``dtype`` (bfloat16 by default at inference) so matmuls run at full MXU
+  rate while the parameter store stays full precision.
+- Initialization mirrors the reference: Kaiming-normal fan-out for convs
+  with zero bias (reference lib/network/vgg2016.py:107-113), N(0, 0.01)
+  for each stage's final projection (reference vgg2016.py:115-126).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+#: Kaiming-normal, fan_out, relu gain — matches
+#: ``torch.nn.init.kaiming_normal_(w, mode='fan_out', nonlinearity='relu')``.
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+#: N(0, 0.01) init for final stage projections (reference vgg2016.py:126).
+final_layer_init = nn.initializers.normal(stddev=0.01)
+
+
+class ConvBlock(nn.Module):
+    """Conv2D [+ BatchNorm] [+ ReLU/ReLU6].
+
+    Equivalent of the reference's ``ConvBN`` (lib/network/mobilenet.py:6-17,
+    lib/network/mobilenetV2.py:23-35) and of plain conv+ReLU pairs in the
+    VGG head.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    use_bn: bool = False
+    act: Optional[str] = "relu"  # None | "relu" | "relu6"
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = kaiming_out
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act == "relu6":
+            x = jnp.minimum(nn.relu(x), jnp.asarray(6.0, x.dtype))
+        return x
+
+
+class DSConv(nn.Module):
+    """Depthwise-separable conv: depthwise k×k → pointwise 1×1 → BN → ReLU.
+
+    Mirrors the reference ``DSConv`` used by every non-VGG backbone and head
+    (lib/network/mobilenet.py:20-33): BN sits after the pointwise conv only,
+    and ``relu=False`` disables the final activation (used on each stage's
+    output projection).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+    pointwise_init: Any = kaiming_out
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        x = nn.Conv(
+            in_features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+            feature_group_count=in_features,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_out,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features,
+            (1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.pointwise_init,
+            name="pointwise",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+def max_pool(x, window: int, stride: int, padding=0):
+    """2D max pool over NHWC."""
+    pad = [(padding, padding), (padding, padding)]
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride), padding=pad
+    )
+
+
+def depth_fn(conv_width: float, min_depth: int = 8):
+    """Width-multiplier helper (reference lib/network/mobilenet.py:45-46)."""
+
+    def depth(d: int) -> int:
+        return max(round(d * conv_width), min_depth)
+
+    return depth
