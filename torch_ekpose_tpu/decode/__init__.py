@@ -1,0 +1,15 @@
+from torch_ekpose_tpu.decode.oracle import (
+    decode,
+    find_peaks,
+    humans_from_decode,
+    nms,
+    paf_to_pose_numpy,
+)
+
+__all__ = [
+    "decode",
+    "find_peaks",
+    "humans_from_decode",
+    "nms",
+    "paf_to_pose_numpy",
+]
