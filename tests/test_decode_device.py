@@ -1,0 +1,103 @@
+"""On-device (JAX) decoder parity against the numpy oracle.
+
+Noise is added to every synthetic scene so scores are distinct — the only
+documented divergences of the device decoder are tie ordering and
+border-peak refinement, neither of which these scenes exercise."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from torch_ekpose_tpu.config import Config
+from torch_ekpose_tpu.data import gen_targets_np
+from torch_ekpose_tpu.decode import api, device, oracle
+
+GY, GX, STRIDE = 46, 46, 8
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    cfg = Config()
+    # small capacities keep XLA CPU compile times reasonable in CI
+    cfg.DECODE.max_peaks_per_part = 8
+    cfg.DECODE.max_people = 8
+    return cfg
+
+
+def _random_scene(rng, n_people):
+    kpts = np.zeros((n_people, 18, 3))
+    offsets = np.array([
+        (0, -95), (0, -70), (-25, -70), (-32, -35), (-36, 0), (25, -70),
+        (32, -35), (36, 0), (-18, 0), (-20, 45), (-20, 90), (18, 0),
+        (20, 45), (20, 90), (-8, -103), (8, -103), (-17, -99), (17, -99),
+    ])
+    for p in range(n_people):
+        cx, cy = rng.uniform(80, 290), rng.uniform(120, 250)
+        scale = rng.uniform(0.5, 0.9)
+        kpts[p, :, :2] = (
+            np.array([cx, cy]) + offsets * scale + rng.normal(0, 3, (18, 2))
+        )
+        kpts[p, :, 2] = rng.choice([0, 2], size=18, p=[0.1, 0.9])
+    heat, pafs = gen_targets_np(kpts, GY, GX, STRIDE, 7.0)
+    heat = (heat + rng.normal(0, 0.015, heat.shape)).astype(np.float32)
+    pafs = (pafs + rng.normal(0, 0.015, pafs.shape)).astype(np.float32)
+    return heat, pafs
+
+
+def _canonical(humans):
+    """Order-insensitive structural form: exact part ids + coordinates.
+
+    Scores are compared separately with a tolerance (the device decoder
+    accumulates in float32, the oracle in float64)."""
+    people = []
+    for h in humans:
+        parts = tuple(
+            (idx, round(p.x, 6), round(p.y, 6))
+            for idx, p in sorted(h.body_parts.items())
+        )
+        people.append(parts)
+    return sorted(people)
+
+
+def _assert_same_humans(got, want):
+    assert _canonical(got) == _canonical(want)
+    got_s = sorted(h.score for h in got)
+    want_s = sorted(h.score for h in want)
+    np.testing.assert_allclose(got_s, want_s, atol=1e-2)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_device_matches_oracle(small_cfg, seed):
+    rng = np.random.default_rng(seed + 100)
+    heat, pafs = _random_scene(rng, int(rng.integers(1, 4)))
+    want = oracle.paf_to_pose_numpy(heat, pafs, small_cfg)
+    got = device.paf_to_pose_jax(heat, pafs, small_cfg)
+    _assert_same_humans(got, want)
+
+
+def test_device_empty(small_cfg):
+    heat = np.zeros((GY, GX, 19), dtype=np.float32)
+    pafs = np.zeros((GY, GX, 38), dtype=np.float32)
+    assert device.paf_to_pose_jax(heat, pafs, small_cfg) == []
+
+
+def test_api_jax_backend_dispatch(small_cfg):
+    rng = np.random.default_rng(5)
+    heat, pafs = _random_scene(rng, 1)
+    got = api.paf_to_pose(heat, pafs, small_cfg, backend="jax")
+    want = api.paf_to_pose(heat, pafs, small_cfg, backend="numpy")
+    _assert_same_humans(got, want)
+
+
+def test_decode_result_shapes(small_cfg):
+    rng = np.random.default_rng(9)
+    heat, pafs = _random_scene(rng, 2)
+    decoder = device.build_decoder(small_cfg)
+    res = decoder(heat, pafs)
+    k = small_cfg.DECODE.max_peaks_per_part
+    cap = small_cfg.DECODE.max_people * 3
+    assert res.peak_xy.shape == (18 * k, 2)
+    assert res.peak_score.shape == (18 * k,)
+    assert res.subset.shape == (cap, 20)
+    assert res.person_valid.shape == (cap,)

@@ -1,0 +1,459 @@
+"""Fully on-device (JAX/XLA) pose decoder with static shapes.
+
+This replaces the reference's decode pipeline — host-side scipy/cv2 NMS
+(reference lib/utils/paf_to_pose.py:60-133) + a x8 materialized upsample
+(:356-359) + the sequential C++ assembler (lib/pafprocess/pafprocess.cpp:
+22-194) — with one jitted XLA program, so streaming inference never leaves
+the TPU between the conv forward pass and the final person rows.
+
+Fixed-capacity design (XLA needs static shapes):
+
+- top-``max_peaks`` peaks per part, score-masked;
+- 5x5 peak patches bicubic-upsampled x8 with two small matmuls against a
+  precomputed interpolation matrix (MXU work instead of cv2);
+- all-pairs PAF line integrals for all 19 limbs at once as a
+  [19, K, K, STEP] gather + reduction;
+- greedy matching as ``lax.fori_loop`` of masked argmaxes, vmapped over
+  the 19 limb pairs (equivalent to the reference's sort-then-scan for
+  distinct scores);
+- the sequential person merge as a ``lax.fori_loop`` over connection slots
+  with branch selection via ``lax.switch``, preserving the reference's row
+  ordering semantics (new rows append; merged rows deactivate in place).
+
+Known, documented divergences from the host oracle (both harmless for AP):
+
+- peaks within 2 cells of the map border refine against an edge-replicated
+  5x5 patch instead of the reference's clipped smaller patch;
+- exact score ties may match/merge in a different order (the reference
+  inherits arbitrary tie order from ``std::sort``);
+- scores accumulate in float32 (the oracle uses float64), so a refined
+  coordinate that lands within ~1e-4 of an integer can truncate to the
+  neighboring pixel (~1 part per several hundred decoded parts).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.config import Config, cfg as default_cfg
+from torch_ekpose_tpu.ops.resize import resize_matrix
+from torch_ekpose_tpu.utils.human import BodyPart, Human
+
+__all__ = ["DecodeResult", "build_decoder", "decode_jax", "paf_to_pose_jax"]
+
+_WIN = 2            # refinement patch half-width -> 5x5 patches
+_PATCH = 2 * _WIN + 1
+
+
+class DecodeResult(NamedTuple):
+    """Fixed-shape decode output for one image.
+
+    peak_xy      [18*K, 2] int32   truncated refined coords (upsampled frame)
+    peak_score   [18*K]    float32
+    peak_valid   [18*K]    bool
+    subset       [CAP, 20] float32 person rows (cids are flat peak indices)
+    person_valid [CAP]     bool
+    """
+
+    peak_xy: jax.Array
+    peak_score: jax.Array
+    peak_valid: jax.Array
+    subset: jax.Array
+    person_valid: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# stage 1: peak finding + sub-pixel refinement
+# ---------------------------------------------------------------------------
+
+def _find_topk_peaks(heatmaps: jax.Array, thresh: float, k: int):
+    """[H, W, 18] -> (px, py, score, valid), each [18, K].
+
+    A peak is a 4-neighborhood local max above ``thresh``
+    (reference paf_to_pose.py:34-36). Selection is top-k by score.
+    """
+    h, w, _ = heatmaps.shape
+    m = jnp.transpose(heatmaps, (2, 0, 1))                # [18, H, W]
+    neg = jnp.asarray(-jnp.inf, m.dtype)
+    padded = jnp.pad(m, ((0, 0), (1, 1), (1, 1)), constant_values=neg)
+    neigh = jnp.maximum(
+        jnp.maximum(padded[:, :-2, 1:-1], padded[:, 2:, 1:-1]),
+        jnp.maximum(padded[:, 1:-1, :-2], padded[:, 1:-1, 2:]),
+    )
+    is_peak = (m >= neigh) & (m > thresh)
+    masked = jnp.where(is_peak, m, neg).reshape(18, h * w)
+    score, idx = jax.lax.top_k(masked, k)                 # [18, K]
+    py, px = idx // w, idx % w
+    valid = score > neg
+    return px, py, jnp.where(valid, score, 0.0), valid
+
+
+def _refine_peaks(heatmaps: jax.Array, px, py, upsamp: int):
+    """Sub-pixel refinement (reference paf_to_pose.py:94-131) for [18, K]
+    peak grids. Returns float (x, y, score) in the upsampled frame."""
+    h, w, _ = heatmaps.shape
+    up_mat = jnp.asarray(resize_matrix(_PATCH, _PATCH * upsamp, "cubic"))
+
+    offs = jnp.arange(-_WIN, _WIN + 1)
+    gy = jnp.clip(py[..., None, None] + offs[None, None, :, None], 0, h - 1)
+    gx = jnp.clip(px[..., None, None] + offs[None, None, None, :], 0, w - 1)
+    part_idx = jnp.arange(18)[:, None, None, None]
+    patch = heatmaps[gy, gx, part_idx]                    # [18, K, 5, 5]
+
+    up = jnp.einsum("ua,jkab,vb->jkuv", up_mat, patch, up_mat)
+    side = _PATCH * upsamp
+    flat = up.reshape(*up.shape[:2], side * side)
+    am = jnp.argmax(flat, axis=-1)
+    iy, ix = am // side, am % side
+    score = jnp.take_along_axis(flat, am[..., None], axis=-1)[..., 0]
+
+    # patch center in upsampled coordinates; the offset of the clamped
+    # window start from the peak equals min(peak, WIN) per axis
+    cx = (jnp.minimum(px, _WIN) + 0.5) * upsamp - 0.5
+    cy = (jnp.minimum(py, _WIN) + 0.5) * upsamp - 0.5
+    x = (px + 0.5) * upsamp - 0.5 + (ix - cx)
+    y = (py + 0.5) * upsamp - 0.5 + (iy - cy)
+    return x, y, score
+
+
+# ---------------------------------------------------------------------------
+# stage 2: all-pairs limb scoring + greedy matching
+# ---------------------------------------------------------------------------
+
+def _score_all_limbs(
+    pafs, xi, yi, peak_valid, stride: int, n_steps: int,
+    thresh_paf: float, thresh_cnt1: int,
+):
+    """[19, K, K] candidate scores + validity.
+
+    xi/yi/peak_valid are [18, K] truncated-int peak tables. Implements the
+    10-sample line integral + criteria of reference pafprocess.cpp:56-92.
+    """
+    h, w, _ = pafs.shape
+    pairs = jnp.asarray(constants.COCO_PAIRS)             # [19, 2]
+    ch = jnp.asarray(constants.COCO_PAIRS_NET)            # [19, 2]
+
+    ax = xi[pairs[:, 0]].astype(jnp.float32)              # [19, K]
+    ay = yi[pairs[:, 0]].astype(jnp.float32)
+    bx = xi[pairs[:, 1]].astype(jnp.float32)
+    by = yi[pairs[:, 1]].astype(jnp.float32)
+    va = peak_valid[pairs[:, 0]]
+    vb = peak_valid[pairs[:, 1]]
+
+    dx = bx[:, None, :] - ax[:, :, None]                  # [19, Ka, Kb]
+    dy = by[:, None, :] - ay[:, :, None]
+    norm = jnp.sqrt(dx * dx + dy * dy)
+    ok = norm >= 1e-12
+    safe = jnp.where(ok, norm, 1.0)
+    ux, uy = dx / safe, dy / safe
+
+    steps = jnp.arange(n_steps, dtype=jnp.float32)        # [S]
+    lx = jnp.floor(
+        ax[:, :, None, None] + steps * dx[..., None] / n_steps + 0.5
+    ).astype(jnp.int32)                                   # [19, Ka, Kb, S]
+    ly = jnp.floor(
+        ay[:, :, None, None] + steps * dy[..., None] / n_steps + 0.5
+    ).astype(jnp.int32)
+    gx = jnp.clip(lx // stride, 0, w - 1)
+    gy = jnp.clip(ly // stride, 0, h - 1)
+
+    paf_flat = pafs.reshape(h * w * pafs.shape[2])
+    base = (gy * w + gx) * pafs.shape[2]
+    vx = paf_flat[base + ch[:, 0][:, None, None, None]]
+    vy = paf_flat[base + ch[:, 1][:, None, None, None]]
+    dots = vx * ux[..., None] + vy * uy[..., None]        # [19, Ka, Kb, S]
+
+    above = jnp.sum(dots > thresh_paf, axis=-1)
+    mean = jnp.mean(dots, axis=-1)
+    penalty = jnp.minimum(0.0, 0.5 * (h * stride) / safe - 1.0)
+    score = mean + penalty
+    valid = (
+        ok & (above > thresh_cnt1) & (score > 0)
+        & va[:, :, None] & vb[:, None, :]
+    )
+    return jnp.where(valid, score, -jnp.inf), valid
+
+
+def _greedy_match_one(score: jax.Array, k: int):
+    """Greedy 1:1 matching on one [K, K] score matrix
+    (reference pafprocess.cpp:96-124: sorted scan == repeated masked argmax
+    for distinct scores). Returns (ia, ib, score, valid), each [K]."""
+    neg = -jnp.inf
+
+    def body(t, carry):
+        used_a, used_b, out_ia, out_ib, out_s, out_v = carry
+        masked = jnp.where(
+            used_a[:, None] | used_b[None, :], neg, score
+        )
+        flat = masked.reshape(-1)
+        best = jnp.argmax(flat)
+        val = flat[best]
+        ia, ib = best // k, best % k
+        accept = val > neg
+        used_a = used_a.at[ia].set(used_a[ia] | accept)
+        used_b = used_b.at[ib].set(used_b[ib] | accept)
+        out_ia = out_ia.at[t].set(jnp.where(accept, ia, -1))
+        out_ib = out_ib.at[t].set(jnp.where(accept, ib, -1))
+        out_s = out_s.at[t].set(jnp.where(accept, val, 0.0))
+        out_v = out_v.at[t].set(accept)
+        return used_a, used_b, out_ia, out_ib, out_s, out_v
+
+    init = (
+        jnp.zeros(k, bool), jnp.zeros(k, bool),
+        jnp.full(k, -1, jnp.int32), jnp.full(k, -1, jnp.int32),
+        jnp.zeros(k, jnp.float32), jnp.zeros(k, bool),
+    )
+    _, _, ia, ib, s, v = jax.lax.fori_loop(0, k, body, init)
+    return ia, ib, s, v
+
+
+# ---------------------------------------------------------------------------
+# stage 3: sequential person-row merging
+# ---------------------------------------------------------------------------
+
+def _merge_people(
+    conn_cid1, conn_cid2, conn_score, conn_valid, peak_score_flat,
+    cap: int, k: int,
+):
+    """Person grouping (reference pafprocess.cpp:127-185) over the [19, K]
+    connection tables. Returns (subset [cap, 20], active [cap], n_rows)."""
+    pairs = jnp.asarray(constants.COCO_PAIRS)
+    n_slots = 19 * k
+
+    def body(s, carry):
+        subset, active, n_rows = carry
+        pair = s // k
+        ci = s % k
+        p1, p2 = pairs[pair, 0], pairs[pair, 1]
+        cid1 = conn_cid1[pair, ci].astype(jnp.float32)
+        cid2 = conn_cid2[pair, ci].astype(jnp.float32)
+        score = conn_score[pair, ci]
+        valid = conn_valid[pair, ci]
+
+        col1 = jax.nn.one_hot(p1, 20, dtype=subset.dtype)
+        col2 = jax.nn.one_hot(p2, 20, dtype=subset.dtype)
+        vals1 = subset @ col1                             # [cap]
+        vals2 = subset @ col2
+        match = active & ((vals1 == cid1) | (vals2 == cid2))
+        found = jnp.sum(match)
+        cum = jnp.cumsum(match)
+        match1 = jnp.argmax(match & (cum == 1))
+        match2 = jnp.argmax(match & (cum == 2))
+
+        row1 = subset[match1]
+        row2 = subset[match2]
+        sc2 = peak_score_flat[jnp.clip(cid2.astype(jnp.int32), 0, None)]
+        sc1 = peak_score_flat[jnp.clip(cid1.astype(jnp.int32), 0, None)]
+
+        def set_p2(rows, ridx, row, guard: bool):
+            """row[p2] = cid2; count += 1; score += peak2 + conn.
+
+            ``guard`` replicates the found==1 branch's ``!= cid2`` check
+            (reference pafprocess.cpp:147); the found==2 overlap branch
+            applies the update unconditionally (pafprocess.cpp:169-171).
+            """
+            new = row * (1 - col2) + cid2 * col2
+            new = new.at[18].add(sc2 + score)
+            new = new.at[19].add(1.0)
+            if guard:
+                changed = row @ col2 != cid2
+                new = jnp.where(changed, new, row)
+            return rows.at[ridx].set(new)
+
+        def branch_noop(op):
+            subset, active, n_rows = op
+            return subset, active, n_rows
+
+        def branch_found1(op):
+            subset, active, n_rows = op
+            return set_p2(subset, match1, row1, guard=True), active, n_rows
+
+        def branch_found2(op):
+            subset, active, n_rows = op
+            overlap = jnp.any((row1[:18] > 0) & (row2[:18] > 0))
+
+            merged = row1.at[:18].add(row2[:18] + 1.0)
+            merged = merged.at[18].add(row2[18] + score)
+            merged = merged.at[19].add(row2[19])
+
+            sub_disjoint = subset.at[match1].set(merged)
+            act_disjoint = active.at[match2].set(False)
+
+            sub_overlap = set_p2(subset, match1, row1, guard=False)
+
+            new_subset = jnp.where(overlap, sub_overlap, sub_disjoint)
+            new_active = jnp.where(overlap, active, act_disjoint)
+            return new_subset, new_active, n_rows
+
+        def branch_new_row(op):
+            subset, active, n_rows = op
+            can = (pair < 18) & (n_rows < cap)
+            row = jnp.full(20, -1.0, subset.dtype)
+            row = row * (1 - col1) + cid1 * col1
+            row = row * (1 - col2) + cid2 * col2
+            row = row.at[18].set(sc1 + sc2 + score)
+            row = row.at[19].set(2.0)
+            slot = jnp.clip(n_rows, 0, cap - 1)
+            new_subset = jnp.where(can, subset.at[slot].set(row), subset)
+            new_active = jnp.where(can, active.at[slot].set(True), active)
+            new_n = jnp.where(can, n_rows + 1, n_rows)
+            return new_subset, new_active, new_n
+
+        # 0: invalid/found>2 -> noop, 1: found==0 -> new row,
+        # 2: found==1, 3: found==2
+        case = jnp.where(
+            ~valid, 0,
+            jnp.where(found == 0, 1,
+                      jnp.where(found == 1, 2,
+                                jnp.where(found == 2, 3, 0))),
+        )
+        return jax.lax.switch(
+            case,
+            [branch_noop, branch_new_row, branch_found1, branch_found2],
+            (subset, active, n_rows),
+        )
+
+    init = (
+        jnp.full((cap, 20), -1.0, jnp.float32),
+        jnp.zeros(cap, bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_slots, body, init)
+
+
+# ---------------------------------------------------------------------------
+# full decoder
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "n_steps", "max_peaks", "subset_cap", "thresh_heatmap",
+        "thresh_paf", "thresh_cnt1", "thresh_part_cnt", "thresh_human_score",
+    ),
+)
+def decode_jax(
+    heatmaps: jax.Array,
+    pafs: jax.Array,
+    *,
+    stride: int = constants.DOWNSAMPLE,
+    n_steps: int = constants.STEP_PAF,
+    max_peaks: int = 32,
+    subset_cap: int = 96,
+    thresh_heatmap: float = constants.THRESH_HEATMAP,
+    thresh_paf: float = constants.THRESH_VECTOR_SCORE,
+    thresh_cnt1: int = constants.THRESH_VECTOR_CNT1,
+    thresh_part_cnt: float = constants.THRESH_PART_CNT,
+    thresh_human_score: float = constants.THRESH_HUMAN_SCORE,
+) -> DecodeResult:
+    """Decode one image's [H, W, 19] heatmaps + [H, W, 38] PAFs on device."""
+    heatmaps = heatmaps.astype(jnp.float32)
+    pafs = pafs.astype(jnp.float32)
+    k = max_peaks
+
+    px, py, _, peak_valid = _find_topk_peaks(
+        heatmaps[:, :, :18], thresh_heatmap, k
+    )
+    xf, yf, score = _refine_peaks(heatmaps[:, :, :18], px, py, stride)
+    # the assembler stores truncated ints (reference pafprocess.h:26-31)
+    xi = jnp.trunc(xf).astype(jnp.int32)
+    yi = jnp.trunc(yf).astype(jnp.int32)
+    score = jnp.where(peak_valid, score, 0.0)
+
+    limb_scores, _ = _score_all_limbs(
+        pafs, xi, yi, peak_valid, stride, n_steps, thresh_paf, thresh_cnt1
+    )
+    ia, ib, cscore, cvalid = jax.vmap(
+        functools.partial(_greedy_match_one, k=k)
+    )(limb_scores)
+
+    # local peak index -> flat cid = part * K + index
+    pairs = jnp.asarray(constants.COCO_PAIRS)
+    cid1 = pairs[:, 0][:, None] * k + jnp.maximum(ia, 0)
+    cid2 = pairs[:, 1][:, None] * k + jnp.maximum(ib, 0)
+
+    subset, active, _ = _merge_people(
+        cid1, cid2, cscore, cvalid, score.reshape(-1), subset_cap, k
+    )
+    counts = subset[:, 19]
+    totals = subset[:, 18]
+    person_valid = (
+        active
+        & (counts >= thresh_part_cnt)
+        & (totals / jnp.maximum(counts, 1.0) >= thresh_human_score)
+    )
+    return DecodeResult(
+        peak_xy=jnp.stack([xi, yi], axis=-1).reshape(18 * k, 2),
+        peak_score=score.reshape(18 * k),
+        peak_valid=peak_valid.reshape(18 * k),
+        subset=subset,
+        person_valid=person_valid,
+    )
+
+
+def build_decoder(config: Optional[Config] = None):
+    """Returns a jitted single-image decoder closed over config values."""
+    config = config or default_cfg
+    return functools.partial(
+        decode_jax,
+        stride=config.MODEL.DOWNSAMPLE,
+        n_steps=config.TEST.NUM_INTERMED_PTS_BETWEEN_KEYPOINTS,
+        max_peaks=config.DECODE.max_peaks_per_part,
+        subset_cap=config.DECODE.max_people * 3,
+        thresh_heatmap=config.TEST.THRESH_HEATMAP,
+        thresh_paf=config.TEST.THRESH_PAF,
+        thresh_cnt1=config.TEST.THRESH_VECTOR_CNT1,
+        thresh_part_cnt=float(config.TEST.THRESH_PART_CNT),
+        thresh_human_score=config.TEST.THRESH_HUMAN_SCORE,
+    )
+
+
+def humans_from_result(
+    result: DecodeResult, up_h: int, up_w: int
+) -> List[Human]:
+    """Host conversion of a DecodeResult to Human objects
+    (mirrors reference paf_to_pose.py:361-378)."""
+    peak_xy = np.asarray(result.peak_xy)
+    peak_score = np.asarray(result.peak_score)
+    subset = np.asarray(result.subset)
+    person_valid = np.asarray(result.person_valid)
+
+    humans = []
+    for human_id in np.nonzero(person_valid)[0]:
+        row = subset[human_id]
+        human = Human([])
+        added = False
+        for part_idx in range(constants.NUM_KEYPOINTS):
+            cid = int(row[part_idx])
+            if cid < 0:
+                continue
+            added = True
+            human.body_parts[part_idx] = BodyPart(
+                "%d-%d" % (human_id, part_idx), part_idx,
+                float(peak_xy[cid, 0]) / up_w,
+                float(peak_xy[cid, 1]) / up_h,
+                float(peak_score[cid]),
+            )
+        if added:
+            human.score = float(row[18] / row[19])
+            humans.append(human)
+    return humans
+
+
+def paf_to_pose_jax(
+    heatmaps, pafs, config: Optional[Config] = None
+) -> List[Human]:
+    """End-to-end device decode -> Humans for one image."""
+    config = config or default_cfg
+    decoder = build_decoder(config)
+    result = decoder(jnp.asarray(heatmaps), jnp.asarray(pafs))
+    stride = config.MODEL.DOWNSAMPLE
+    return humans_from_result(
+        result, heatmaps.shape[0] * stride, heatmaps.shape[1] * stride
+    )
