@@ -1,0 +1,133 @@
+"""Runtime tests: padding math, torch->flax conversion, conv-layout parity,
+and the estimator surface (with a small dest_size to keep CPU compiles
+cheap)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from torch_ekpose_tpu.models import init_model
+from torch_ekpose_tpu.runtime import (
+    PoseEstimator,
+    convert_torch_checkpoint,
+    padding,
+)
+
+
+def test_padding_shapes_and_scale(rng):
+    im = (rng.uniform(0, 255, (480, 640, 3))).astype(np.uint8)
+    im_pad, scale, shape = padding(im, 368, 8)
+    # long side 640 -> 368 => scale 0.575 => 480*0.575 = 276 -> pad to 280
+    assert scale == pytest.approx(368 / 640)
+    assert im_pad.shape[1] == 368
+    assert im_pad.shape[0] == 280
+    assert shape == (276, 368, 3)
+    # padded region is zeros
+    assert np.all(im_pad[276:] == 0)
+
+
+def _fake_vgg_state():
+    """Random state_dict with the reference vgg2016 names/shapes
+    (reference lib/network/vgg2016.py:14-76)."""
+    rng = np.random.default_rng(0)
+    state = {}
+
+    def conv(name, cin, cout, k):
+        state[f"{name}.weight"] = rng.normal(
+            0, 0.01, (cout, cin, k, k)
+        ).astype(np.float32)
+        state[f"{name}.bias"] = rng.normal(0, 0.01, (cout,)).astype(np.float32)
+
+    backbone = [
+        (0, 3, 64, 3), (2, 64, 64, 3), (5, 64, 128, 3), (7, 128, 128, 3),
+        (10, 128, 256, 3), (12, 256, 256, 3), (14, 256, 256, 3),
+        (16, 256, 256, 3), (19, 256, 512, 3), (21, 512, 512, 3),
+        (23, 512, 256, 3), (25, 256, 128, 3),
+    ]
+    for idx, cin, cout, k in backbone:
+        conv(f"model0.backbone.{idx}", cin, cout, k)
+    for branch, out in ((1, 38), (2, 19)):
+        name = f"model1_{branch}"
+        conv(f"{name}.0", 128, 128, 3)
+        conv(f"{name}.2", 128, 128, 3)
+        conv(f"{name}.4", 128, 128, 3)
+        conv(f"{name}.6", 128, 512, 1)
+        conv(f"{name}.8", 512, out, 1)
+    for stage in range(2, 7):
+        for branch, out in ((1, 38), (2, 19)):
+            name = f"model{stage}_{branch}"
+            conv(f"{name}.0", 185, 128, 7)
+            for i in (2, 4, 6, 8):
+                conv(f"{name}.{i}", 128, 128, 7)
+            conv(f"{name}.10", 128, 128, 1)
+            conv(f"{name}.12", 128, out, 1)
+    return state
+
+
+def test_convert_vgg_checkpoint_shapes():
+    import jax
+
+    state = _fake_vgg_state()
+    converted = convert_torch_checkpoint(state, "vgg2016")
+    _, variables = init_model("vgg2016", input_shape=(1, 64, 64, 3))
+    want_shapes = jax.tree.map(lambda a: a.shape, variables["params"])
+    got_shapes = jax.tree.map(lambda a: a.shape, converted["params"])
+    assert want_shapes == got_shapes
+
+
+def test_convert_rejects_leftover_keys():
+    state = _fake_vgg_state()
+    state["extra.weight"] = np.zeros((1,))
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_torch_checkpoint(state, "vgg2016")
+
+
+def test_convert_module_prefix_stripped(tmp_path):
+    torch = pytest.importorskip("torch")
+    state = {f"module.{k}": torch.from_numpy(v) for k, v in
+             _fake_vgg_state().items()}
+    p = tmp_path / "dp.pth"
+    torch.save(state, p)
+    converted = convert_torch_checkpoint(str(p), "vgg2016")
+    assert "model0" in converted["params"]
+
+
+def test_conv_layout_parity_with_torch(rng):
+    """Converted OIHW->HWIO kernels must reproduce torch's conv2d."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+
+    w = rng.normal(0, 0.1, (38, 17, 7, 7)).astype(np.float32)
+    b = rng.normal(0, 0.1, (38,)).astype(np.float32)
+    x = rng.normal(0, 1, (1, 9, 11, 17)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(w), torch.from_numpy(b), padding=3,
+        ).numpy().transpose(0, 2, 3, 1)
+
+    conv = nn.Conv(38, (7, 7), padding=[(3, 3), (3, 3)])
+    variables = {
+        "params": {
+            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": jnp.asarray(b),
+        }
+    }
+    ours = np.asarray(conv.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_estimator_end_to_end_small():
+    est = PoseEstimator(
+        "vgg2016", preprocess="vgg", decode_backend="numpy", dest_size=64,
+        compute_dtype=jnp.float32,
+    )
+    img = np.zeros((100, 80, 3), dtype=np.uint8)
+    pafs, heatmaps, scale = est.get_outputs(img)
+    assert pafs.shape[-1] == 38 and heatmaps.shape[-1] == 19
+    assert pafs.shape[0] == heatmaps.shape[0] == 8  # 64 / stride 8
+    humans, scale2 = est.estimate(img)
+    assert isinstance(humans, list)
+    assert scale == scale2

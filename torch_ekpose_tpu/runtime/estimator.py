@@ -1,0 +1,206 @@
+"""Inference runtime: padding, device-side preprocessing, and a
+shape-bucketed jitted estimator.
+
+Equivalent of the reference inference runtime (reference
+lib/evaluate/estimator.py): ``padding`` resizes the long side to
+``dest_size`` and zero-pads to a stride multiple (:45-68), ``get_outputs``
+preprocesses, runs the model, and returns stage-6 PAF/heatmaps (:71-88).
+
+TPU-native differences:
+
+- preprocessing (scale / BGR->RGB / imagenet normalize — reference
+  lib/datasets/preprocessing.py:16-43) happens **inside the jitted
+  program** on device, fused with the first convolution by XLA;
+- tensors stay NHWC end to end (no CHW transposes);
+- one compiled executable per padded input shape, cached — callers that
+  keep a fixed resolution (video/webcam) compile exactly once;
+- ``estimate_fused`` runs forward + full pose decode as a single XLA
+  program, so streaming inference never round-trips to the host between
+  the convs and the assembled people.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.config import Config, cfg as default_cfg
+from torch_ekpose_tpu.decode import api as decode_api
+from torch_ekpose_tpu.decode import device as decode_device
+from torch_ekpose_tpu.models import get_model, init_model
+from torch_ekpose_tpu.ops.resize import resize_image_np
+from torch_ekpose_tpu.utils.human import Human
+
+__all__ = ["padding", "preprocess_jax", "PoseEstimator"]
+
+
+def _factor_closest(num: float, factor: int, is_ceil: bool = True) -> int:
+    fn = np.ceil if is_ceil else np.floor
+    return int(fn(float(num) / factor)) * factor
+
+
+def padding(
+    im: np.ndarray, dest_size: int = 368, factor: int = 8,
+    is_ceil: bool = True,
+) -> Tuple[np.ndarray, float, Tuple[int, int, int]]:
+    """Resize the long side to ``dest_size`` and zero-pad H/W up to
+    multiples of ``factor`` (reference estimator.py:52-68).
+
+    Uses cv2 for the resize when available (bit-parity with the
+    reference's uint8 fixed-point path), falling back to our float
+    bilinear otherwise.
+    """
+    im_scale = float(dest_size) / np.max(im.shape[0:2])
+    new_w = int(np.rint(im.shape[1] * im_scale))
+    new_h = int(np.rint(im.shape[0] * im_scale))
+    try:
+        import cv2
+
+        im = cv2.resize(im, (new_w, new_h))
+    except ImportError:
+        resized = resize_image_np(im.astype(np.float32), new_h, new_w, "linear")
+        im = (
+            np.clip(np.rint(resized), 0, 255).astype(im.dtype)
+            if np.issubdtype(im.dtype, np.integer) else resized
+        )
+
+    h, w, c = im.shape
+    im_pad = np.zeros(
+        [_factor_closest(h, factor, is_ceil),
+         _factor_closest(w, factor, is_ceil), c],
+        dtype=im.dtype,
+    )
+    im_pad[0:h, 0:w, :] = im
+    return im_pad, im_scale, im.shape
+
+
+def preprocess_jax(image: jax.Array, mode: str = "vgg") -> jax.Array:
+    """Device-side preprocessing of a [H, W, 3] BGR image (any dtype).
+
+    - ``"vgg"``: /255, BGR->RGB, imagenet mean/std
+      (reference preprocessing.py:32-43);
+    - ``"rtpose"``: /256 - 0.5 (reference preprocessing.py:16-21).
+    Output stays HWC float32.
+    """
+    x = image.astype(jnp.float32)
+    if mode == "vgg":
+        x = x[..., ::-1] / 255.0
+        mean = jnp.asarray(constants.IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(constants.IMAGENET_STD, jnp.float32)
+        return (x - mean) / std
+    if mode == "rtpose":
+        return x / 256.0 - 0.5
+    raise ValueError(f"unknown preprocess mode {mode!r}")
+
+
+class PoseEstimator:
+    """Owns a model + parameters and serves pose inference.
+
+    ``estimate(image)`` is the one-call equivalent of the reference's
+    ``get_outputs`` + ``paf_to_pose_cpp`` chain (reference eval.py:153-156).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "vgg2016",
+        variables: Optional[Dict] = None,
+        config: Optional[Config] = None,
+        preprocess: str = "vgg",
+        decode_backend: str = "auto",
+        dest_size: int = 368,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.config = config or default_cfg
+        self.model_name = model_name
+        self.preprocess = preprocess
+        self.decode_backend = decode_backend
+        self.dest_size = dest_size
+        self.model = get_model(model_name, dtype=compute_dtype)
+        if variables is None:
+            _, variables = init_model(
+                model_name, input_shape=(1, 64, 64, 3), dtype=compute_dtype
+            )
+        self.variables = variables
+        self._forward_cache: Dict[Tuple[int, int], any] = {}
+        self._fused_cache: Dict[Tuple[int, int], any] = {}
+
+    # -- compiled program builders (one per padded input shape) ----------
+
+    def _forward_fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._forward_cache:
+            mode = self.preprocess
+
+            @jax.jit
+            def fwd(variables, image):
+                x = preprocess_jax(image, mode)[None]
+                (paf, heatmap), _ = self.model.apply(
+                    variables, x, train=False
+                )
+                return (
+                    paf[0].astype(jnp.float32),
+                    heatmap[0].astype(jnp.float32),
+                )
+
+            self._forward_cache[key] = fwd
+        return self._forward_cache[key]
+
+    def _fused_fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._fused_cache:
+            mode = self.preprocess
+            decoder = decode_device.build_decoder(self.config)
+
+            @jax.jit
+            def fused(variables, image):
+                x = preprocess_jax(image, mode)[None]
+                (paf, heatmap), _ = self.model.apply(
+                    variables, x, train=False
+                )
+                paf = paf[0].astype(jnp.float32)
+                heatmap = heatmap[0].astype(jnp.float32)
+                return decoder(heatmap, paf), paf, heatmap
+
+            self._fused_cache[key] = fused
+        return self._fused_cache[key]
+
+    # -- public API -------------------------------------------------------
+
+    def get_outputs(
+        self, image: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """(pafs [h, w, 38], heatmaps [h, w, 19], im_scale) for one BGR
+        image, reproducing reference estimator.py:71-88."""
+        im_pad, im_scale, _ = padding(
+            image, self.dest_size, self.config.MODEL.DOWNSAMPLE
+        )
+        fwd = self._forward_fn(*im_pad.shape[:2])
+        paf, heatmap = fwd(self.variables, jnp.asarray(im_pad))
+        return np.asarray(paf), np.asarray(heatmap), im_scale
+
+    def estimate(
+        self, image: np.ndarray
+    ) -> Tuple[List[Human], float]:
+        """Assembled people + im_scale for one BGR image."""
+        if self.decode_backend == "jax":
+            im_pad, im_scale, _ = padding(
+                image, self.dest_size, self.config.MODEL.DOWNSAMPLE
+            )
+            fused = self._fused_fn(*im_pad.shape[:2])
+            result, _, heatmap = fused(self.variables, jnp.asarray(im_pad))
+            stride = self.config.MODEL.DOWNSAMPLE
+            humans = decode_device.humans_from_result(
+                jax.device_get(result),
+                heatmap.shape[0] * stride, heatmap.shape[1] * stride,
+            )
+            return humans, im_scale
+        pafs, heatmaps, im_scale = self.get_outputs(image)
+        humans = decode_api.paf_to_pose(
+            heatmaps, pafs, self.config, backend=self.decode_backend
+        )
+        return humans, im_scale
