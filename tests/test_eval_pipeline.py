@@ -1,0 +1,115 @@
+"""End-to-end eval loop test with a fake estimator that emits ground-truth
+targets: exercises COCO reading, the estimator contract, decode, the
+append_result coordinate math (reference eval.py:93-125,166), and the
+evaluator. A perfect-output model must score near-perfect AP."""
+
+import json
+
+import numpy as np
+import pytest
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.config import Config
+from torch_ekpose_tpu.data import gen_targets_np
+from torch_ekpose_tpu.evaluate import run_eval
+from torch_ekpose_tpu.runtime.estimator import padding
+
+IMG_W, IMG_H = 640, 480
+
+OFFSETS = np.array([
+    (0, -95), (0, -70), (-25, -70), (-32, -35), (-36, 0), (25, -70),
+    (32, -35), (36, 0), (-18, 0), (-20, 45), (-20, 90), (18, 0),
+    (20, 45), (20, 90), (-8, -103), (8, -103), (-17, -99), (17, -99),
+])
+
+
+def _internal_to_coco_ann(kpts18):
+    """18 internal keypoints -> COCO 17-keypoint annotation row."""
+    coco = np.zeros((17, 3))
+    for coco_idx in range(17):
+        coco[coco_idx] = kpts18[constants.ORDER_COCO[coco_idx]]
+    return coco
+
+
+def _build_dataset(tmp_path, n_images=3):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, annotations, gt18 = [], [], {}
+    ann_id = 1
+    for img_id in range(1, n_images + 1):
+        name = f"{img_id:012d}.jpg"
+        Image.new("RGB", (IMG_W, IMG_H)).save(img_dir / name)
+        images.append({
+            "id": img_id, "width": IMG_W, "height": IMG_H, "file_name": name,
+        })
+        people = []
+        for _ in range(int(rng.integers(1, 3))):
+            c = np.array([rng.uniform(150, 500), rng.uniform(160, 330)])
+            kp18 = np.zeros((18, 3))
+            kp18[:, :2] = c + OFFSETS * rng.uniform(0.7, 1.1)
+            kp18[:, 2] = 2
+            people.append(kp18)
+            coco = _internal_to_coco_ann(kp18)
+            x0, y0 = coco[:, 0].min(), coco[:, 1].min()
+            w = coco[:, 0].max() - x0
+            h = coco[:, 1].max() - y0
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": [float(v) for v in coco.reshape(-1)],
+                "num_keypoints": 17, "iscrowd": 0,
+                "area": float(w * h), "bbox": [x0, y0, w, h],
+            })
+            ann_id += 1
+        gt18[img_id] = people
+    anno = tmp_path / "annotations_val.json"
+    anno.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+    }))
+    return str(img_dir), str(anno), gt18
+
+
+class FakeEstimator:
+    """Emits ground-truth heatmaps/PAFs in the padded-image frame."""
+
+    def __init__(self, gt18):
+        self.gt18 = gt18
+        self.config = Config()
+        self.decode_backend = "numpy"
+        self._img_id = None
+
+    def get_outputs(self, image):
+        im_pad, scale, _ = padding(image, 368, 8)
+        gy, gx = im_pad.shape[0] // 8, im_pad.shape[1] // 8
+        people = self.gt18[self._img_id]
+        kpts = np.stack(people).copy()
+        kpts[:, :, :2] *= scale
+        heat, pafs = gen_targets_np(kpts, gy, gx, 8, 7.0)
+        return pafs, heat, scale
+
+
+def test_eval_pipeline_perfect_model(tmp_path):
+    pytest.importorskip("PIL")
+    img_dir, anno, gt18 = _build_dataset(tmp_path)
+
+    est = FakeEstimator(gt18)
+
+    # run_eval reads images in id order; track which image is being served
+    from torch_ekpose_tpu.evaluate import evaluator as ev_mod
+
+    orig_read = ev_mod.read_image_bgr
+    ids = iter(sorted(gt18))
+
+    def tracking_read(path):
+        est._img_id = next(ids)
+        return orig_read(path)
+
+    ev_mod.read_image_bgr = tracking_read
+    try:
+        ap = run_eval(img_dir, anno, est, mode="val", progress=False)
+    finally:
+        ev_mod.read_image_bgr = orig_read
+    assert ap > 0.75, f"AP {ap}"

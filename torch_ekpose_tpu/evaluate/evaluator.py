@@ -1,0 +1,156 @@
+"""COCO validation loop: image -> estimator -> decode -> result rows -> AP.
+
+Equivalent of reference eval.py:93-170 (``append_result`` coordinate
+remapping via ORDER_COCO, ``run_eval`` per-image loop, ``eval_coco``
+protocol driver), built on our estimator and dependency-free evaluator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.data.coco import COCO
+from torch_ekpose_tpu.evaluate.cocoeval import COCOKeypointEval
+from torch_ekpose_tpu.utils.human import Human, draw_humans
+
+__all__ = ["append_result", "eval_coco", "run_eval", "read_image_bgr"]
+
+
+def read_image_bgr(path: str) -> np.ndarray:
+    """Read an image as HWC uint8 BGR (cv2 convention; PIL fallback)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+    except ImportError:
+        from PIL import Image
+
+        with open(path, "rb") as f:
+            rgb = np.asarray(Image.open(f).convert("RGB"))
+        return rgb[:, :, ::-1].copy()
+
+
+def append_result(
+    image_id: int,
+    humans: List[Human],
+    upsample_keypoints,
+    outputs: List[dict],
+) -> None:
+    """Convert Humans to COCO result rows (reference eval.py:93-125):
+    coordinates scale by the upsampled-map-over-image ratio with a +0.5
+    shift, keypoints reorder via ORDER_COCO, detection score is 1.0."""
+    for human in humans:
+        keypoints = np.zeros((18, 3))
+        for i in range(18):
+            if i in human.body_parts:
+                part = human.body_parts[i]
+                keypoints[i, 0] = part.x * upsample_keypoints[1] + 0.5
+                keypoints[i, 1] = part.y * upsample_keypoints[0] + 0.5
+                keypoints[i, 2] = 1
+        keypoints = keypoints[list(constants.ORDER_COCO), :]
+        outputs.append({
+            "image_id": image_id,
+            "category_id": 1,
+            "keypoints": [float(v) for v in keypoints.reshape(51)],
+            "score": 1.0,
+        })
+
+
+def eval_coco(
+    outputs: List[dict],
+    anno_file: str,
+    img_ids: List[int],
+    results_json: Optional[str] = None,
+) -> float:
+    """Score result rows against the annotation file; returns AP@OKS
+    (reference eval.py:73-90)."""
+    coco_gt = COCO(anno_file)
+    if results_json:
+        os.makedirs(
+            os.path.dirname(os.path.abspath(results_json)), exist_ok=True
+        )
+        with open(results_json, "w") as f:
+            json.dump(outputs, f)
+    coco_dt = coco_gt.loadRes(outputs)
+    ev = COCOKeypointEval(coco_gt, coco_dt)
+    ev.params.imgIds = img_ids
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize()
+    return float(ev.stats[0])
+
+
+def run_eval(
+    image_dir: str,
+    anno_file: str,
+    estimator,
+    mode: str = "val",
+    vis_dir: Optional[str] = None,
+    save_every: int = 0,
+    results_json: Optional[str] = None,
+    n_images: Optional[int] = None,
+    progress: bool = True,
+) -> float:
+    """Evaluate an estimator over a COCO-format dataset
+    (reference eval.py:129-170)."""
+    coco = COCO(anno_file)
+    if mode == "val":
+        cat_ids = coco.getCatIds(catNms=["person"])
+        img_ids = coco.getImgIds(catIds=cat_ids)
+    else:
+        img_ids = coco.getImgIds()
+    if n_images:
+        img_ids = img_ids[:n_images]
+
+    iterator = img_ids
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(img_ids)
+        except ImportError:
+            pass
+
+    stride = estimator.config.MODEL.DOWNSAMPLE
+    outputs: List[dict] = []
+    for i, img_id in enumerate(iterator):
+        info = coco.loadImgs(img_id)[0]
+        image = read_image_bgr(os.path.join(image_dir, info["file_name"]))
+        pafs, heatmaps, scale = estimator.get_outputs(image)
+        from torch_ekpose_tpu.decode import paf_to_pose
+
+        humans = paf_to_pose(
+            heatmaps, pafs, estimator.config,
+            backend=estimator.decode_backend
+            if estimator.decode_backend != "jax" else "auto",
+        )
+        if vis_dir and save_every and i % save_every == 0:
+            os.makedirs(vis_dir, exist_ok=True)
+            out = draw_humans(image, humans)
+            _write_image(os.path.join(vis_dir, info["file_name"]), out)
+        upsample = (
+            heatmaps.shape[0] * stride / scale,
+            heatmaps.shape[1] * stride / scale,
+        )
+        append_result(img_id, humans, upsample, outputs)
+
+    return eval_coco(outputs, anno_file, img_ids, results_json)
+
+
+def _write_image(path: str, img: np.ndarray) -> None:
+    try:
+        import cv2
+
+        cv2.imwrite(path, img)
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(img[:, :, ::-1]).save(path)
