@@ -1,0 +1,80 @@
+"""Shared CLI plumbing: checkpoint auto-detection, estimator construction,
+and device reporting (equivalent of reference lib/evaluate/estimator.py:7-42
+``get_using_device``/``load_ckpt``)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from torch_ekpose_tpu.config import Config, cfg as default_cfg
+from torch_ekpose_tpu.models import init_model
+from torch_ekpose_tpu.runtime import (
+    PoseEstimator,
+    convert_torch_checkpoint,
+    load_checkpoint,
+)
+
+__all__ = ["add_model_args", "build_estimator", "report_devices"]
+
+
+def report_devices() -> None:
+    devs = jax.devices()
+    kinds = {d.platform for d in devs}
+    print(f">>>> Using {len(devs)} {'/'.join(sorted(kinds))} device(s) <<<<")
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "-m", "--model", type=str, default="vgg2016", help="model name"
+    )
+    parser.add_argument(
+        "-c", "--ckpt", type=str, default=None,
+        help="checkpoint path (.pth reference checkpoints are converted "
+        "on the fly; .msgpack are native)",
+    )
+    parser.add_argument(
+        "--preprocess", type=str, default="vgg", choices=["vgg", "rtpose"],
+    )
+    parser.add_argument(
+        "--decode-backend", type=str, default="auto",
+        choices=["auto", "native", "numpy", "jax"],
+    )
+    parser.add_argument(
+        "--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"],
+        help="activation compute dtype (params stay float32)",
+    )
+
+
+def load_variables(model_name: str, ckpt: Optional[str]):
+    if ckpt is None:
+        print("WARNING: no checkpoint given; using random initialization")
+        _, variables = init_model(model_name, input_shape=(1, 64, 64, 3))
+        return variables
+    if ckpt.endswith((".pth", ".pt")):
+        print(f"INFO: converting reference checkpoint {ckpt}")
+        return convert_torch_checkpoint(ckpt, model_name)
+    print(f"INFO: loading checkpoint {ckpt}")
+    _, template = init_model(model_name, input_shape=(1, 64, 64, 3))
+    return load_checkpoint(ckpt, template)
+
+
+def build_estimator(
+    args: argparse.Namespace, config: Optional[Config] = None
+) -> PoseEstimator:
+    report_devices()
+    variables = load_variables(args.model, args.ckpt)
+    return PoseEstimator(
+        model_name=args.model,
+        variables=variables,
+        config=config or default_cfg,
+        preprocess=args.preprocess,
+        decode_backend=args.decode_backend,
+        compute_dtype=(
+            jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        ),
+    )

@@ -1,0 +1,52 @@
+"""COCO keypoint evaluation (reference eval.py).
+
+    python -m torch_ekpose_tpu.cli.eval -m vgg2016 -c ckpt.pth \
+        -d coco --mode val --data-dir ./data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from torch_ekpose_tpu.cli import common
+from torch_ekpose_tpu.evaluate import run_eval
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(parser)
+    parser.add_argument("-d", "--datasets", type=str, required=True,
+                        help="dataset directory name under --data-dir")
+    parser.add_argument("--data-dir", type=str, default="./data/")
+    parser.add_argument("--mode", type=str, default="val")
+    parser.add_argument("--save", type=int, default=0,
+                        help="save every Nth visualization (0 = never)")
+    parser.add_argument("--json", action="store_true",
+                        help="keep results.json")
+    parser.add_argument("--vis-dir", type=str, default="results/")
+    parser.add_argument("--n-images", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    estimator = common.build_estimator(args)
+    image_dir = os.path.join(args.data_dir, args.datasets, "images", args.mode)
+    anno = os.path.join(
+        args.data_dir, args.datasets, f"annotations_{args.mode}.json"
+    )
+    ap = run_eval(
+        image_dir=image_dir,
+        anno_file=anno,
+        estimator=estimator,
+        mode=args.mode,
+        vis_dir=args.vis_dir if args.save else None,
+        save_every=args.save,
+        results_json=(
+            os.path.join(args.vis_dir, "results.json") if args.json else None
+        ),
+        n_images=args.n_images,
+    )
+    print(f"AP@OKS = {ap:.4f}")
+
+
+if __name__ == "__main__":
+    main()
