@@ -1,0 +1,206 @@
+"""Transforms + dataset + loader tests (reference lib/datasets/transforms.py
+and datasets.py semantics)."""
+
+import json
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.data import transforms as T
+from torch_ekpose_tpu.data.dataset import BatchLoader, CocoKeypoints
+
+
+def _image(w=200, h=150):
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    return PIL.Image.fromarray(arr)
+
+
+def _ann(xys, w=200, h=150):
+    kp = np.zeros((17, 3), dtype=np.float32)
+    for i, (x, y) in enumerate(xys[:17]):
+        kp[i] = (x, y, 2)
+    return {
+        "keypoints": kp.reshape(-1).tolist(),
+        "bbox": [10.0, 10.0, 50.0, 60.0],
+        "segmentation": [],
+    }
+
+
+def test_normalize_initializes_meta():
+    img = _image()
+    image, anns, meta = T.Normalize()(img, [_ann([(20, 30)])], None)
+    assert meta["hflip"] is False
+    assert tuple(meta["width_height"]) == (200, 150)
+    assert anns[0]["keypoints"].shape == (17, 3)
+    assert "segmentation" not in anns[0]
+
+
+def test_hflip_swaps_and_mirrors():
+    img = _image()
+    _, anns, meta = T.Normalize()(img, [_ann([(20, 30), (40, 50)])], None)
+    _, anns2, meta2 = T.HFlip()(img, anns, meta)
+    # nose (idx 0) mirrors in place
+    assert anns2[0]["keypoints"][0, 0] == pytest.approx(-20 - 1 + 200)
+    # left_eye (idx 1) data lands at right_eye (idx 2)
+    assert anns2[0]["keypoints"][2, 0] == pytest.approx(-40 - 1 + 200)
+    assert anns2[0]["keypoints"][2, 1] == pytest.approx(50)
+    assert meta2["hflip"] is True
+
+
+def test_rescale_relative_scales_keypoints():
+    rng = np.random.default_rng(0)
+    img = _image()
+    _, anns, meta = T.Normalize()(img, [_ann([(20, 30)])], None)
+    img2, anns2, meta2 = T.RescaleRelative((0.5, 0.5))(img, anns, meta, rng)
+    assert img2.size == (100, 75)
+    assert anns2[0]["keypoints"][0, 0] == pytest.approx((20 + 0.5) * 0.5 - 0.5)
+    assert meta2["scale"][0] == pytest.approx(0.5)
+
+
+def test_center_pad_fill_and_offsets():
+    img = _image(100, 80)
+    _, anns, meta = T.Normalize()(img, [_ann([(20, 30)])], None)
+    img2, anns2, meta2 = T.CenterPad(120)(img, anns, meta)
+    assert img2.size == (120, 120)
+    left, top = (120 - 100) // 2, (120 - 80) // 2
+    assert anns2[0]["keypoints"][0, 0] == pytest.approx(20 + left)
+    assert anns2[0]["keypoints"][0, 1] == pytest.approx(30 + top)
+    assert img2.getpixel((0, 0)) == constants.PAD_FILL_RGB
+
+
+def test_keypoint_sets_inverse_round_trip():
+    rng = np.random.default_rng(3)
+    img = _image(300, 220)
+    pts = [(50, 60), (120, 100), (200, 180)]
+    pipeline = T.Compose([
+        T.Normalize(), T.RescaleRelative((0.5, 1.0)), T.CenterPad(368),
+    ])
+    _, anns, meta = pipeline(img, [_ann(pts, 300, 220)], None, rng)
+    kps = anns[0]["keypoints"][None]
+    back = T.Preprocess.keypoint_sets_inverse(kps, meta)
+    for i, (x, y) in enumerate(pts):
+        np.testing.assert_allclose(back[0, i, :2], [x, y], atol=1e-3)
+
+
+def test_keypoint_sets_inverse_hflip_round_trip():
+    rng = np.random.default_rng(4)
+    img = _image(300, 220)
+    pts = [(50, 60), (120, 100)]
+    pipeline = T.Compose([T.Normalize(), T.HFlip(), T.CenterPad(368)])
+    _, anns, meta = pipeline(img, [_ann(pts, 300, 220)], None, rng)
+    back = T.Preprocess.keypoint_sets_inverse(
+        anns[0]["keypoints"][None], meta
+    )
+    for i, (x, y) in enumerate(pts):
+        np.testing.assert_allclose(back[0, i, :2], [x, y], atol=1e-3)
+
+
+def test_mask_valid_area():
+    img = np.ones((50, 60, 3), dtype=np.float32)
+    T.mask_valid_area(img, (10, 5, 30, 20))
+    assert np.all(img[:5] == 0) and np.all(img[:, :10] == 0)
+    assert np.all(img[25:] == 0) and np.all(img[:, 40:] == 0)
+    assert np.all(img[5:25, 10:40] == 1)
+
+
+def test_random_rotate_keeps_all_keypoints():
+    rng = np.random.default_rng(0)
+    img = _image(100, 100)
+    pts = [(50, 50)] + [(30 + i, 40 + i) for i in range(16)]
+    _, anns, meta = T.Normalize()(img, [_ann(pts, 100, 100)], None)
+    img2, anns2, _ = T.RandomRotate(30)(img, anns, meta, rng)
+    # the center point stays near the (expanded) canvas center
+    cx, cy = img2.size[0] / 2, img2.size[1] / 2
+    np.testing.assert_allclose(
+        anns2[0]["keypoints"][0, :2], [cx, cy], atol=2.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset + loader
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def tiny_coco(tmp_path):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, 7):
+        name = f"{img_id:012d}.jpg"
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        ).save(img_dir / name)
+        images.append({
+            "id": img_id, "width": 320, "height": 240, "file_name": name,
+        })
+        kp = np.zeros((17, 3))
+        kp[:, 0] = rng.uniform(40, 280, 17)
+        kp[:, 1] = rng.uniform(40, 200, 17)
+        kp[:, 2] = 2
+        annotations.append({
+            "id": ann_id, "image_id": img_id, "category_id": 1,
+            "keypoints": [float(v) for v in kp.reshape(-1)],
+            "num_keypoints": 17, "iscrowd": 0, "area": 100.0,
+            "bbox": [40, 40, 100, 100], "segmentation": [],
+        })
+        ann_id += 1
+    anno = tmp_path / "ann.json"
+    anno.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+    }))
+    return str(img_dir), str(anno)
+
+
+def test_dataset_host_targets(tiny_coco):
+    img_dir, anno = tiny_coco
+    ds = CocoKeypoints(
+        img_dir, anno, preprocess=T.TRAIN_PREPROCESS(368),
+        image_transform=T.image_transform_train, target_mode="host",
+    )
+    assert len(ds) == 6
+    image, heat, pafs = ds[0]
+    assert image.shape == (368, 368, 3)
+    assert heat.shape == (46, 46, 19)
+    assert pafs.shape == (46, 46, 38)
+    # deterministic per (seed, index)
+    image2, heat2, _ = ds[0]
+    np.testing.assert_array_equal(image, image2)
+    np.testing.assert_array_equal(heat, heat2)
+
+
+def test_dataset_device_targets(tiny_coco):
+    img_dir, anno = tiny_coco
+    ds = CocoKeypoints(
+        img_dir, anno, preprocess=T.TRAIN_PREPROCESS(368),
+        target_mode="device", max_people=8,
+    )
+    image, kpts = ds[0]
+    assert image.shape == (368, 368, 3)
+    assert kpts.shape == (8, 18, 3)
+    # visible keypoints stay inside the crop
+    vis = kpts[kpts[:, :, 2] > 0]
+    assert np.all(vis[:, 0] >= 0) and np.all(vis[:, 0] < 368)
+
+
+def test_batch_loader_orders_and_stacks(tiny_coco):
+    img_dir, anno = tiny_coco
+    ds = CocoKeypoints(
+        img_dir, anno, preprocess=T.TRAIN_PREPROCESS(128),
+        target_mode="device", max_people=4, input_size=128,
+    )
+    loader = BatchLoader(ds, batch_size=2, num_workers=3, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    for images, kpts in batches:
+        assert images.shape == (2, 128, 128, 3)
+        assert kpts.shape == (2, 4, 18, 3)
+    # same epoch sequence is reproducible with a fresh loader
+    loader2 = BatchLoader(ds, batch_size=2, num_workers=1, seed=1)
+    batches2 = list(loader2)
+    np.testing.assert_array_equal(batches[0][0], batches2[0][0])

@@ -1,7 +1,18 @@
+from torch_ekpose_tpu.data import transforms
+from torch_ekpose_tpu.data.coco import COCO
+from torch_ekpose_tpu.data.dataset import BatchLoader, CocoKeypoints
 from torch_ekpose_tpu.data.targets import (
     gen_targets_jax,
     gen_targets_np,
     make_batched_target_fn,
 )
 
-__all__ = ["gen_targets_jax", "gen_targets_np", "make_batched_target_fn"]
+__all__ = [
+    "COCO",
+    "BatchLoader",
+    "CocoKeypoints",
+    "gen_targets_jax",
+    "gen_targets_np",
+    "make_batched_target_fn",
+    "transforms",
+]

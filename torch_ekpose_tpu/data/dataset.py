@@ -1,0 +1,234 @@
+"""COCO keypoint training dataset + a threaded prefetching batch loader.
+
+Equivalent of the reference dataset stack (reference
+lib/datasets/datasets.py:91-286 ``CocoKeypoints``; the DataLoader built at
+reference train.py:253-299), with a TPU-first twist: besides the
+reference-style host-rasterized targets, the dataset can emit padded
+keypoint tensors so the heatmap/PAF rasterization runs **on device**
+(:func:`torch_ekpose_tpu.data.targets.gen_targets_jax`), removing the
+reference's hottest CPU loop from the input pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import PIL.Image
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.data import transforms as T
+from torch_ekpose_tpu.data.coco import COCO
+from torch_ekpose_tpu.data.targets import gen_targets_np
+
+__all__ = ["CocoKeypoints", "BatchLoader"]
+
+
+class CocoKeypoints:
+    """Indexable dataset of (image, targets-or-keypoints) samples.
+
+    ``target_mode``:
+      - ``"host"``   -> items are (image [S,S,3] f32, heatmaps [g,g,19],
+        pafs [g,g,38]) with host rasterization, like the reference;
+      - ``"device"`` -> items are (image [S,S,3] f32,
+        keypoints [max_people, 18, 3] f32) for on-device rasterization.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        ann_file: str,
+        preprocess: Optional[T.Preprocess] = None,
+        image_transform=None,
+        target_mode: str = "host",
+        input_size: int = 368,
+        stride: int = constants.DOWNSAMPLE,
+        max_people: int = 32,
+        n_images: Optional[int] = None,
+        all_images: bool = False,
+        seed: int = 0,
+    ):
+        self.root = root
+        self.coco = COCO(ann_file)
+        self.cat_ids = self.coco.getCatIds(catNms=["person"]) or [1]
+        if all_images:
+            self.ids = self.coco.getImgIds()
+        else:
+            self.ids = self._filter_for_keypoints(
+                self.coco.getImgIds(catIds=self.cat_ids)
+            )
+        if n_images:
+            self.ids = self.ids[:n_images]
+        self.preprocess = preprocess or T.Normalize()
+        self.image_transform = image_transform or T.image_transform
+        self.target_mode = target_mode
+        self.input_size = input_size
+        self.stride = stride
+        self.max_people = max_people
+        self._seed = seed
+
+    def _filter_for_keypoints(self, ids: List[int]) -> List[int]:
+        """Keep images with at least one labeled keypoint
+        (reference datasets.py:126-139)."""
+        keep = []
+        for img_id in ids:
+            anns = self.coco.loadAnns(
+                self.coco.getAnnIds(imgIds=img_id, catIds=self.cat_ids)
+            )
+            if any(
+                "keypoints" in a and any(v > 0 for v in a["keypoints"][2::3])
+                for a in anns
+            ):
+                keep.append(img_id)
+        return keep
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _keypoints18(self, anns) -> np.ndarray:
+        """Annotations -> [P, 18, 3] internal keypoints with the neck
+        synthesized and out-of-frame joints nulled
+        (reference datasets.py:199-248)."""
+        people = []
+        for ann in anns:
+            kp17 = np.asarray(ann["keypoints"], dtype=np.float64).reshape(
+                17, 3
+            )
+            people.append(constants.coco_to_internal_keypoints(kp17))
+        if not people:
+            return np.zeros((0, 18, 3))
+        kpts = np.stack(people)
+        out = (
+            (kpts[:, :, 0] >= self.input_size) | (kpts[:, :, 0] < 0)
+            | (kpts[:, :, 1] >= self.input_size) | (kpts[:, :, 1] < 0)
+        )
+        kpts[out] = (-1.0, -1.0, 0.0)
+        return kpts
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed, index])
+        )
+        img_id = self.ids[index]
+        anns = self.coco.loadAnns(
+            self.coco.getAnnIds(imgIds=img_id, catIds=self.cat_ids)
+        )
+        info = self.coco.loadImgs(img_id)[0]
+        with open(os.path.join(self.root, info["file_name"]), "rb") as f:
+            image = PIL.Image.open(f).convert("RGB")
+
+        image, anns, meta = self.preprocess(image, anns, None, rng)
+        image = self.image_transform(image, rng)
+        image = T.mask_valid_area(image, meta["valid_area"])
+
+        kpts = self._keypoints18(anns)
+        if self.target_mode == "device":
+            padded = np.zeros((self.max_people, 18, 3), dtype=np.float32)
+            n = min(len(kpts), self.max_people)
+            padded[:n] = kpts[:n]
+            return image.astype(np.float32), padded
+
+        grid = self.input_size // self.stride
+        heatmaps, pafs = gen_targets_np(
+            kpts if len(kpts) else np.zeros((1, 18, 3)),
+            grid, grid, self.stride, constants.TARGET_SIGMA,
+        )
+        return image.astype(np.float32), heatmaps, pafs
+
+    def reseed(self, seed: int) -> None:
+        """Change the augmentation seed (call once per epoch)."""
+        self._seed = seed
+
+
+class BatchLoader:
+    """Threaded, prefetching batch iterator over an indexable dataset.
+
+    Replaces the reference's torch DataLoader(num_workers=8, pin_memory)
+    (reference train.py:269-276) without the torch dependency: worker
+    threads run the (numpy/PIL, GIL-releasing) pipeline and a bounded queue
+    feeds stacked numpy batches to the consumer.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch])
+            ).shuffle(order)
+        self._epoch += 1
+
+        batches = [
+            order[i: i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        todo: "queue.Queue" = queue.Queue()
+        done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        for bi, idxs in enumerate(batches):
+            todo.put((bi, idxs))
+        results = {}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                try:
+                    bi, idxs = todo.get_nowait()
+                except queue.Empty:
+                    return
+                items = [self.dataset[int(i)] for i in idxs]
+                stacked = tuple(
+                    np.stack([it[f] for it in items])
+                    for f in range(len(items[0]))
+                )
+                with lock:
+                    results[bi] = stacked
+                done.put(bi)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        # emit batches in order for reproducibility
+        next_bi = 0
+        received = set()
+        while next_bi < len(batches):
+            bi = done.get()
+            received.add(bi)
+            while next_bi in received:
+                with lock:
+                    out = results.pop(next_bi)
+                yield out
+                next_bi += 1

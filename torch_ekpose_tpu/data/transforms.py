@@ -1,0 +1,483 @@
+"""Geometric and photometric training transforms.
+
+Equivalent of the reference transform pipeline (reference
+lib/datasets/transforms.py): PIL-image + annotation-list preprocess classes
+carrying a ``meta`` dict (offset/scale/valid_area/hflip) so keypoint sets
+can be mapped back through ``keypoint_sets_inverse``.
+
+Differences from the reference, by design:
+
+- randomness flows through an explicit ``numpy.random.Generator`` (the
+  reference pulls from the global torch RNG at transforms.py:216,339,445 —
+  unreproducible across workers);
+- the photometric train transform reimplements torchvision's
+  ColorJitter / RandomGrayscale / jpeg-compression with PIL + numpy
+  (distributional rather than bit-exact parity, per SURVEY §7) and outputs
+  a normalized HWC float32 array (NHWC is the TPU-native layout; the
+  reference emits CHW tensors);
+- ``RandomRotate`` rotates all 18 keypoints (the reference rotates only
+  the first 13 — a latent bug at transforms.py:472 ``range(13)``; that
+  class is only used by its dev loader script, never in training).
+"""
+
+from __future__ import annotations
+
+import copy
+import io
+import math
+from abc import ABCMeta, abstractmethod
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import PIL.Image
+import PIL.ImageEnhance
+
+from torch_ekpose_tpu import constants
+
+__all__ = [
+    "Preprocess", "Normalize", "Compose", "MultiScale", "RescaleRelative",
+    "RescaleAbsolute", "Crop", "CenterPad", "HFlip", "RandomApply",
+    "RandomRotate", "horizontal_swap_coco", "mask_valid_area",
+    "image_transform", "image_transform_train", "TRAIN_PREPROCESS",
+]
+
+
+def horizontal_swap_coco(keypoints: np.ndarray) -> np.ndarray:
+    """Swap left/right COCO keypoint rows (reference lib/datasets/utils.py:8)."""
+    target = np.zeros(keypoints.shape, dtype=keypoints.dtype)
+    for src, dst in enumerate(constants.HFLIP_COCO_SWAP):
+        target[dst] = keypoints[src]
+    return target
+
+
+def mask_valid_area(image_hwc: np.ndarray, valid_area) -> np.ndarray:
+    """Zero the image outside ``valid_area`` = (x, y, w, h)
+    (reference lib/datasets/utils.py:36-54, transposed to HWC)."""
+    if valid_area is None:
+        return image_hwc
+    if valid_area[1] >= 1.0:
+        image_hwc[: int(valid_area[1]), :, :] = 0
+    if valid_area[0] >= 1.0:
+        image_hwc[:, : int(valid_area[0]), :] = 0
+    max_i = int(math.ceil(valid_area[1] + valid_area[3]))
+    max_j = int(math.ceil(valid_area[0] + valid_area[2]))
+    if max_i < image_hwc.shape[0]:
+        image_hwc[max_i:, :, :] = 0
+    if max_j < image_hwc.shape[1]:
+        image_hwc[:, max_j:, :] = 0
+    return image_hwc
+
+
+class Preprocess(metaclass=ABCMeta):
+    @abstractmethod
+    def __call__(self, image, anns, meta, rng: np.random.Generator):
+        """Apply to (PIL image, annotation list, meta dict)."""
+
+    @staticmethod
+    def keypoint_sets_inverse(keypoint_sets: np.ndarray, meta) -> np.ndarray:
+        """Map keypoints from preprocessed space back to the original image
+        (reference transforms.py:116-132)."""
+        keypoint_sets = keypoint_sets.copy()
+        keypoint_sets[:, :, 0] += meta["offset"][0]
+        keypoint_sets[:, :, 1] += meta["offset"][1]
+        keypoint_sets[:, :, 0] = (
+            keypoint_sets[:, :, 0] + 0.5
+        ) / meta["scale"][0] - 0.5
+        keypoint_sets[:, :, 1] = (
+            keypoint_sets[:, :, 1] + 0.5
+        ) / meta["scale"][1] - 0.5
+        if meta["hflip"]:
+            w = meta["width_height"][0]
+            keypoint_sets[:, :, 0] = -keypoint_sets[:, :, 0] - 1.0 + w
+            for keypoints in keypoint_sets:
+                keypoints[:] = horizontal_swap_coco(keypoints)
+        return keypoint_sets
+
+
+class Normalize(Preprocess):
+    """Convert raw COCO annotations to numpy and initialize meta
+    (reference transforms.py:136-164)."""
+
+    @staticmethod
+    def normalize_annotations(anns):
+        anns = copy.deepcopy(anns)
+        for ann in anns:
+            ann["keypoints"] = np.asarray(
+                ann["keypoints"], dtype=np.float32
+            ).reshape(-1, 3)
+            ann["bbox"] = np.asarray(ann["bbox"], dtype=np.float32)
+            ann["bbox_original"] = np.copy(ann["bbox"])
+            ann.pop("segmentation", None)
+        return anns
+
+    def __call__(self, image, anns, meta, rng=None):
+        anns = self.normalize_annotations(anns)
+        if meta is None:
+            w, h = image.size
+            meta = {
+                "offset": np.array((0.0, 0.0)),
+                "scale": np.array((1.0, 1.0)),
+                "valid_area": np.array((0.0, 0.0, w, h)),
+                "hflip": False,
+                "width_height": np.array((w, h)),
+            }
+        return image, anns, meta
+
+
+class Compose(Preprocess):
+    def __init__(self, preprocess_list: Sequence[Preprocess]):
+        self.preprocess_list = preprocess_list
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        for p in self.preprocess_list:
+            image, anns, meta = p(image, anns, meta, rng)
+        return image, anns, meta
+
+
+class MultiScale(Preprocess):
+    def __init__(self, preprocess_list: Sequence[Preprocess]):
+        self.preprocess_list = preprocess_list
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        outs = [p(image, anns, meta, rng) for p in self.preprocess_list]
+        return (
+            [o[0] for o in outs], [o[1] for o in outs], [o[2] for o in outs]
+        )
+
+
+def _scale_image_and_anns(image, anns, factor_wh, resample):
+    w, h = image.size
+    image = image.resize(
+        (int(w * factor_wh[0]), int(h * factor_wh[1])), resample
+    )
+    x_scale = image.size[0] / w
+    y_scale = image.size[1] / h
+    for ann in anns:
+        ann["keypoints"][:, 0] = (ann["keypoints"][:, 0] + 0.5) * x_scale - 0.5
+        ann["keypoints"][:, 1] = (ann["keypoints"][:, 1] + 0.5) * y_scale - 0.5
+        ann["bbox"] *= np.array([x_scale, y_scale, x_scale, y_scale])
+    return image, anns, np.array((x_scale, y_scale))
+
+
+def _apply_scale_meta(meta, scale_factors):
+    meta["offset"] *= scale_factors
+    meta["scale"] *= scale_factors
+    meta["valid_area"][:2] *= scale_factors
+    meta["valid_area"][2:] *= scale_factors
+
+
+class RescaleRelative(Preprocess):
+    """Random uniform rescale (reference transforms.py:204-252)."""
+
+    def __init__(self, scale_range=(0.5, 1.0), *,
+                 resample=PIL.Image.BICUBIC):
+        self.scale_range = scale_range
+        self.resample = resample
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        meta = copy.deepcopy(meta)
+        anns = copy.deepcopy(anns)
+        if isinstance(self.scale_range, tuple):
+            lo, hi = self.scale_range
+            factor = lo + rng.random() * (hi - lo)
+        else:
+            factor = self.scale_range
+        image, anns, scale_factors = _scale_image_and_anns(
+            image, anns, (factor, factor), self.resample
+        )
+        _apply_scale_meta(meta, scale_factors)
+        for ann in anns:
+            ann["valid_area"] = meta["valid_area"]
+        return image, anns, meta
+
+
+class RescaleAbsolute(Preprocess):
+    """Rescale so the long edge hits a target
+    (reference transforms.py:255-305)."""
+
+    def __init__(self, long_edge, *, resample=PIL.Image.BICUBIC):
+        self.long_edge = long_edge
+        self.resample = resample
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        meta = copy.deepcopy(meta)
+        anns = copy.deepcopy(anns)
+        w, h = image.size
+        edge = self.long_edge
+        if isinstance(edge, (tuple, list)):
+            edge = int(rng.integers(edge[0], edge[1]))
+        s = edge / max(h, w)
+        image, anns, scale_factors = _scale_image_and_anns(
+            image, anns, (s, s), self.resample
+        )
+        _apply_scale_meta(meta, scale_factors)
+        for ann in anns:
+            ann["valid_area"] = meta["valid_area"]
+        return image, anns, meta
+
+
+class Crop(Preprocess):
+    """Random crop to a square of ``long_edge``
+    (reference transforms.py:309-359)."""
+
+    def __init__(self, long_edge: int):
+        self.long_edge = long_edge
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        meta = copy.deepcopy(meta)
+        anns = copy.deepcopy(anns)
+        image, anns, ltrb = self._crop(image, anns, rng)
+        meta["offset"] += ltrb[:2]
+        meta["valid_area"][:2] = np.maximum(
+            0.0, meta["valid_area"][:2] - ltrb[:2]
+        )
+        meta["valid_area"][2:] = np.maximum(
+            0.0, meta["valid_area"][2:] - ltrb[:2]
+        )
+        meta["valid_area"][2:] = np.minimum(
+            meta["valid_area"][2:], ltrb[2:] - ltrb[:2]
+        )
+        for ann in anns:
+            ann["valid_area"] = meta["valid_area"]
+        return image, anns, meta
+
+    def _crop(self, image, anns, rng):
+        w, h = image.size
+        padding = int(self.long_edge / 2.0)
+        x_offset, y_offset = 0, 0
+        if w > self.long_edge:
+            x_offset = int(rng.integers(-padding, w - self.long_edge + padding))
+            x_offset = int(np.clip(x_offset, 0, w - self.long_edge))
+        if h > self.long_edge:
+            y_offset = int(rng.integers(-padding, h - self.long_edge + padding))
+            y_offset = int(np.clip(y_offset, 0, h - self.long_edge))
+        new_w = min(self.long_edge, w - x_offset)
+        new_h = min(self.long_edge, h - y_offset)
+        ltrb = (x_offset, y_offset, x_offset + new_w, y_offset + new_h)
+        image = image.crop(ltrb)
+        for ann in anns:
+            ann["keypoints"][:, 0] -= x_offset
+            ann["keypoints"][:, 1] -= y_offset
+            ann["bbox"][0] -= x_offset
+            ann["bbox"][1] -= y_offset
+        return image, anns, np.array(ltrb)
+
+
+class CenterPad(Preprocess):
+    """Pad to a centered target size with the imagenet-mean fill color
+    (reference transforms.py:362-408)."""
+
+    def __init__(self, target_size):
+        if isinstance(target_size, int):
+            target_size = (target_size, target_size)
+        self.target_size = target_size
+
+    def __call__(self, image, anns, meta, rng=None):
+        meta = copy.deepcopy(meta)
+        anns = copy.deepcopy(anns)
+        image, anns, ltrb = self._center_pad(image, anns)
+        meta["offset"] -= ltrb[:2]
+        meta["valid_area"][:2] += ltrb[:2]
+        for ann in anns:
+            ann["valid_area"] = meta["valid_area"]
+        return image, anns, meta
+
+    def _center_pad(self, image, anns):
+        w, h = image.size
+        left = int((self.target_size[0] - w) / 2.0)
+        top = int((self.target_size[1] - h) / 2.0)
+        right = self.target_size[0] - w - left
+        bottom = self.target_size[1] - h - top
+        padded = PIL.Image.new(
+            "RGB", self.target_size, constants.PAD_FILL_RGB
+        )
+        padded.paste(image, (left, top))
+        for ann in anns:
+            ann["keypoints"][:, 0] += left
+            ann["keypoints"][:, 1] += top
+            ann["bbox"][0] += left
+            ann["bbox"][1] += top
+        assert right >= -w and bottom >= -h
+        return padded, anns, np.array((left, top, right, bottom))
+
+
+class HFlip(Preprocess):
+    """Horizontal flip with left/right keypoint swap
+    (reference transforms.py:412-436)."""
+
+    def __init__(self, *, swap=horizontal_swap_coco):
+        self.swap = swap
+
+    def __call__(self, image, anns, meta, rng=None):
+        meta = copy.deepcopy(meta)
+        anns = copy.deepcopy(anns)
+        w, _ = image.size
+        image = image.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+        for ann in anns:
+            ann["keypoints"][:, 0] = -ann["keypoints"][:, 0] - 1.0 + w
+            if self.swap is not None:
+                ann["keypoints"] = self.swap(ann["keypoints"])
+                meta["horizontal_swap"] = self.swap
+            ann["bbox"][0] = -(ann["bbox"][0] + ann["bbox"][2]) - 1.0 + w
+        assert meta["hflip"] is False
+        meta["hflip"] = True
+        meta["valid_area"][0] = -(
+            meta["valid_area"][0] + meta["valid_area"][2]
+        ) + w
+        for ann in anns:
+            ann["valid_area"] = meta["valid_area"]
+        return image, anns, meta
+
+
+class RandomApply(Preprocess):
+    def __init__(self, transform: Preprocess, probability: float):
+        self.transform = transform
+        self.probability = probability
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        if rng.random() > self.probability:
+            return image, anns, meta
+        return self.transform(image, anns, meta, rng)
+
+
+class RandomRotate(Preprocess):
+    """Random rotation within +-max_rotate_degree, expanding the canvas
+    (reference transforms.py:451-550; unlike the reference, ALL keypoints
+    are rotated, not just the first 13)."""
+
+    def __init__(self, max_rotate_degree: float = 40.0):
+        self.max_rotate_degree = max_rotate_degree
+
+    def __call__(self, image, anns, meta, rng=None):
+        rng = rng or np.random.default_rng()
+        meta = copy.deepcopy(meta)
+        anns = copy.deepcopy(anns)
+        degree = (rng.random() - 0.5) * 2 * self.max_rotate_degree
+
+        w, h = image.size
+        cx, cy = w // 2, h // 2
+        rad = math.radians(degree)
+        cos, sin = abs(math.cos(rad)), abs(math.sin(rad))
+        nw = int(h * sin + w * cos)
+        nh = int(h * cos + w * sin)
+        # rotation matrix mapping source -> expanded destination
+        mcos, msin = math.cos(rad), math.sin(rad)
+        rot = np.array([
+            [mcos, msin, (1 - mcos) * cx - msin * cy + (nw / 2 - cx)],
+            [-msin, mcos, msin * cx + (1 - mcos) * cy + (nh / 2 - cy)],
+        ])
+
+        image = image.rotate(
+            -degree, resample=PIL.Image.BICUBIC, expand=True,
+            fillcolor=(128, 128, 128),
+        ).resize((nw, nh))
+
+        def rotate_xy(xy):
+            v = np.array([xy[0], xy[1], 1.0])
+            return rot @ v
+
+        for ann in anns:
+            for k in range(ann["keypoints"].shape[0]):
+                ann["keypoints"][k, :2] = rotate_xy(ann["keypoints"][k, :2])
+            ann["bbox"] = self._rotate_box(ann["bbox"], rotate_xy)
+        meta["valid_area"] = self._rotate_box(meta["valid_area"], rotate_xy)
+        for ann in anns:
+            ann["valid_area"] = meta["valid_area"]
+        return image, anns, meta
+
+    @staticmethod
+    def _rotate_box(bbox, rotate_xy):
+        corners = np.array([
+            [bbox[0], bbox[1]],
+            [bbox[0] + bbox[2], bbox[1]],
+            [bbox[0], bbox[1] + bbox[3]],
+            [bbox[0] + bbox[2], bbox[1] + bbox[3]],
+        ])
+        rotated = np.stack([rotate_xy(c) for c in corners])
+        x, y = rotated[:, 0].min(), rotated[:, 1].min()
+        return np.array([
+            x, y, rotated[:, 0].max() - x, rotated[:, 1].max() - y,
+        ])
+
+
+# ---------------------------------------------------------------------------
+# photometric image transforms (PIL -> normalized HWC float32)
+# ---------------------------------------------------------------------------
+
+def _normalize_hwc(image: PIL.Image.Image) -> np.ndarray:
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    mean = np.asarray(constants.IMAGENET_MEAN, np.float32)
+    std = np.asarray(constants.IMAGENET_STD, np.float32)
+    return (arr - mean) / std
+
+
+def image_transform(
+    image: PIL.Image.Image, rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    """Eval-time photometric transform: normalize only
+    (reference transforms.py:84-87)."""
+    return _normalize_hwc(image)
+
+
+def _color_jitter(image, rng, strength=0.1):
+    ops = [
+        ("brightness", PIL.ImageEnhance.Brightness),
+        ("contrast", PIL.ImageEnhance.Contrast),
+        ("saturation", PIL.ImageEnhance.Color),
+        ("hue", None),
+    ]
+    order = rng.permutation(len(ops))
+    for i in order:
+        name, enhancer = ops[i]
+        if name == "hue":
+            shift = rng.uniform(-strength, strength)
+            hsv = np.asarray(image.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+            image = PIL.Image.fromarray(
+                hsv.astype(np.uint8), "HSV"
+            ).convert("RGB")
+        else:
+            factor = rng.uniform(1 - strength, 1 + strength)
+            image = enhancer(image).enhance(factor)
+    return image
+
+
+def _jpeg_compression(image, quality=50):
+    buf = io.BytesIO()
+    image.save(buf, "jpeg", quality=quality)
+    buf.seek(0)
+    return PIL.Image.open(buf).convert("RGB")
+
+
+def image_transform_train(
+    image: PIL.Image.Image, rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    """Train-time photometric transform: ColorJitter(0.1 x4) + jpeg
+    compression p=0.1 + grayscale p=0.01 + normalize
+    (reference transforms.py:90-107)."""
+    rng = rng or np.random.default_rng()
+    image = _color_jitter(image, rng)
+    if rng.random() < 0.1:
+        image = _jpeg_compression(image)
+    if rng.random() < 0.01:
+        image = image.convert("L").convert("RGB")
+    return _normalize_hwc(image)
+
+
+def TRAIN_PREPROCESS(square_size: int = 368) -> Compose:
+    """The training geometric pipeline (reference train.py:88-94):
+    Normalize -> RandomApply(HFlip, 0.5) -> RescaleRelative(0.5-1.0) ->
+    Crop(square) -> CenterPad(square)."""
+    return Compose([
+        Normalize(),
+        RandomApply(HFlip(), 0.5),
+        RescaleRelative((0.5, 1.0)),
+        Crop(square_size),
+        CenterPad(square_size),
+    ])
