@@ -1,0 +1,180 @@
+"""Training subsystem tests on the 8-virtual-device CPU mesh: loss
+semantics, data-parallel train step (host + device targets), LR plateau,
+frozen backbone, and full checkpoint resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torch_ekpose_tpu.config import Config
+from torch_ekpose_tpu.models import get_model, init_model
+from torch_ekpose_tpu.parallel import make_mesh, replicated, shard_batch
+from torch_ekpose_tpu.training import (
+    ReduceLROnPlateau,
+    cpm_loss,
+    create_train_state,
+    loss_series_names,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+
+S = 64            # square size -> 8x8 maps
+GRID = (8, 8)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = get_model("vgg2016")
+    _, variables = init_model("vgg2016", input_shape=(1, S, S, 3))
+    return model, variables
+
+
+def test_loss_matches_reference_semantics(rng):
+    saved = [
+        jnp.asarray(rng.normal(0, 1, (2, 8, 8, 38 if i % 2 == 0 else 19))
+                    .astype(np.float32))
+        for i in range(12)
+    ]
+    heat_t = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 19)).astype(np.float32))
+    paf_t = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 38)).astype(np.float32))
+    total, logs = cpm_loss(saved, heat_t, paf_t)
+    manual = sum(
+        np.sum((np.asarray(saved[2 * j]) - np.asarray(paf_t)) ** 2)
+        + np.sum((np.asarray(saved[2 * j + 1]) - np.asarray(heat_t)) ** 2)
+        for j in range(6)
+    ) / 2.0
+    np.testing.assert_allclose(float(total), manual, rtol=1e-5)
+    assert set(loss_series_names()).issubset(logs)
+    assert float(logs["max_ht"]) == np.max(np.asarray(saved[-1])[..., :-1])
+
+
+def test_train_step_decreases_loss_data_parallel(small_model):
+    model, variables = small_model
+    mesh = make_mesh(8)
+    tx = make_optimizer(1e-4, 5e-4)
+    state = jax.device_put(
+        create_train_state(model, variables, tx), replicated(mesh)
+    )
+    step = make_train_step(model, targets="device", grid=GRID)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(0, 1, (8, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((8, 4, 18, 3), dtype=np.float32)
+    kpts[:, 0, :, 0] = rng.uniform(10, 54, (8, 18))
+    kpts[:, 0, :, 1] = rng.uniform(10, 54, (8, 18))
+    kpts[:, 0, :, 2] = 2
+    batch = shard_batch(mesh, (images, kpts))
+
+    losses = []
+    for _ in range(4):
+        state, logs = step(state, *batch)
+        losses.append(float(logs["Loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+
+
+def test_eval_step_runs_and_matches_loss_scale(small_model):
+    model, variables = small_model
+    mesh = make_mesh(8)
+    tx = make_optimizer(1e-4, 5e-4)
+    state = jax.device_put(
+        create_train_state(model, variables, tx), replicated(mesh)
+    )
+    estep = make_eval_step(model, targets="device", grid=GRID)
+    rng = np.random.default_rng(1)
+    images = rng.normal(0, 1, (8, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((8, 2, 18, 3), dtype=np.float32)
+    batch = shard_batch(mesh, (images, kpts))
+    logs = estep(state, *batch)
+    assert np.isfinite(float(logs["Loss"]))
+
+
+def test_frozen_backbone_keeps_model0(small_model):
+    model, variables = small_model
+    tx = make_optimizer(1e-2, 0.0, freeze_backbone=True)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, targets="host")
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(0, 1, (2, S, S, 3)).astype(np.float32))
+    heat = jnp.zeros((2, 8, 8, 19), jnp.float32)
+    pafs = jnp.zeros((2, 8, 8, 38), jnp.float32)
+    before = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, images, heat, pafs)
+    after = jax.tree.map(np.asarray, state.params)
+    # backbone frozen
+    b0, a0 = before["model0"], after["model0"]
+    for pb, pa in zip(jax.tree.leaves(b0), jax.tree.leaves(a0)):
+        np.testing.assert_array_equal(pb, pa)
+    # head trained
+    changed = any(
+        not np.array_equal(pb, pa)
+        for pb, pa in zip(
+            jax.tree.leaves(before["head"]), jax.tree.leaves(after["head"])
+        )
+    )
+    assert changed
+
+
+def test_set_learning_rate_changes_updates(small_model):
+    model, variables = small_model
+    tx = make_optimizer(1e-3, 0.0)
+    state = create_train_state(model, variables, tx)
+    state = set_learning_rate(state, 0.0)
+    step = make_train_step(model, targets="host")
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(0, 1, (2, S, S, 3)).astype(np.float32))
+    heat = jnp.ones((2, 8, 8, 19), jnp.float32)
+    pafs = jnp.ones((2, 8, 8, 38), jnp.float32)
+    before = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    state, _ = step(state, images, heat, pafs)
+    after = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    for pb, pa in zip(before, after):
+        np.testing.assert_array_equal(pb, pa)
+
+
+def test_plateau_schedule():
+    sched = ReduceLROnPlateau(1.0, factor=0.5, patience=1)
+    assert sched.step(10.0) == 1.0      # first value becomes best
+    assert sched.step(11.0) == 1.0      # 1 bad epoch (<= patience)
+    assert sched.step(11.0) == 0.5      # 2nd bad epoch -> reduce
+    assert sched.step(5.0) == 0.5       # improvement resets
+
+
+def test_trainer_fit_and_resume(tmp_path, small_model):
+    from torch_ekpose_tpu.training import Trainer
+
+    cfg = Config()
+    cfg.TRAIN.square_size = S
+    cfg.TRAIN.lr = 1e-4
+    cfg.TRAIN.seed = 0
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(0, 1, (4, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((4, 2, 18, 3), dtype=np.float32)
+    batches = [(images[:2], kpts[:2]), (images[2:], kpts[2:])]
+
+    trainer = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path), log_dir=str(tmp_path),
+        targets="device", num_devices=2,
+    )
+    trainer.fit(batches, batches, epochs=2, save_epoch=1, verbose=False)
+    assert (tmp_path / "epoch_0.ckpt").exists()
+    assert (tmp_path / "epoch_1.ckpt").exists()
+    step_after = int(trainer.state.step)
+    assert step_after == 4  # 2 epochs x 2 batches
+
+    trainer2 = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path), log_dir=str(tmp_path),
+        targets="device", num_devices=2,
+    )
+    trainer2.restore(str(tmp_path / "epoch_1.ckpt"))
+    assert trainer2.epoch == 2
+    assert int(trainer2.state.step) == step_after
+    p1 = jax.tree.leaves(jax.tree.map(np.asarray, trainer.state.params))
+    p2 = jax.tree.leaves(jax.tree.map(np.asarray, trainer2.state.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,124 @@
+"""COCO keypoint training (reference train.py).
+
+    python -m torch_ekpose_tpu.cli.train -m vgg2016 -d coco -b 128 -e 300 \
+        --data-dir ./data/ --targets device
+
+Data-parallel over all visible devices via a 1-D mesh (the reference's
+``nn.DataParallel`` equivalent, train.py:106); ``--targets device``
+rasterizes heatmap/PAF targets on the TPU inside the train step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+from torch_ekpose_tpu.cli import common
+from torch_ekpose_tpu.config import get_default_config
+from torch_ekpose_tpu.data import transforms as T
+from torch_ekpose_tpu.data.dataset import BatchLoader, CocoKeypoints
+from torch_ekpose_tpu.training import Logger, Trainer
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-m", "--model", type=str, default="vgg2016")
+    parser.add_argument("-d", "--datasets", type=str, required=True)
+    parser.add_argument("--data-dir", type=str, default="./data/")
+    parser.add_argument("-b", "--batch_size", type=int, default=128)
+    parser.add_argument("-e", "--epochs", type=int, default=300)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=5e-4)
+    parser.add_argument("--square_size", type=int, default=368)
+    parser.add_argument("--save_epoch", type=int, default=20)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--n-images", type=int, default=None)
+    parser.add_argument("--num-devices", type=int, default=0)
+    parser.add_argument("--targets", type=str, default="device",
+                        choices=["device", "host"])
+    parser.add_argument("--pretrained_path", type=str, default=None,
+                        help="resume checkpoint (.ckpt) or reference .pth")
+    parser.add_argument("--warmup_epochs", type=int, default=0,
+                        help="frozen-backbone warmup epochs "
+                        "(reference train.py:130-166)")
+    parser.add_argument("--logdir", type=str, default="./logs/")
+    parser.add_argument("--out-dir", type=str, default="./checkpoints/")
+    args = parser.parse_args(argv)
+
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_dir = os.path.join(args.logdir, stamp)
+    os.makedirs(log_dir, exist_ok=True)
+    sys.stdout = Logger(os.path.join(log_dir, "logging.log"))
+    print("command line:", " ".join(sys.argv))
+
+    common.report_devices()
+    cfg = get_default_config()
+    cfg.TRAIN.batch_size = args.batch_size
+    cfg.TRAIN.epochs = args.epochs
+    cfg.TRAIN.lr = args.lr
+    cfg.TRAIN.weight_decay = args.weight_decay
+    cfg.TRAIN.square_size = args.square_size
+    cfg.TRAIN.save_epoch = args.save_epoch
+
+    def make_loader(mode: str, train: bool):
+        root = os.path.join(
+            args.data_dir, args.datasets, "images", mode
+        )
+        anno = os.path.join(
+            args.data_dir, args.datasets, f"annotations_{mode}.json"
+        )
+        ds = CocoKeypoints(
+            root, anno,
+            preprocess=T.TRAIN_PREPROCESS(args.square_size),
+            image_transform=(
+                T.image_transform_train if train else T.image_transform
+            ),
+            target_mode=args.targets,
+            input_size=args.square_size,
+            n_images=args.n_images,
+        )
+        return BatchLoader(
+            ds, args.batch_size, shuffle=train,
+            num_workers=args.workers, drop_last=train,
+        )
+
+    train_loader = make_loader("train", True)
+    val_loader = make_loader("val", False)
+
+    variables = None
+    if args.pretrained_path and args.pretrained_path.endswith(
+        (".pth", ".pt")
+    ):
+        variables = common.load_variables(args.model, args.pretrained_path)
+
+    if args.warmup_epochs:
+        print(f"INFO: {args.warmup_epochs}-epoch frozen-backbone warmup")
+        warmup = Trainer(
+            args.model, config=cfg, variables=variables,
+            out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
+            num_devices=args.num_devices, freeze_backbone=True,
+        )
+        warmup.fit(
+            train_loader, val_loader, epochs=args.warmup_epochs,
+            save_epoch=0,
+        )
+        variables = {"params": warmup.state.params}
+        if warmup.state.batch_stats:
+            variables["batch_stats"] = warmup.state.batch_stats
+
+    trainer = Trainer(
+        args.model, config=cfg, variables=variables,
+        out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
+        num_devices=args.num_devices,
+    )
+    if args.pretrained_path and args.pretrained_path.endswith(".ckpt"):
+        trainer.restore(args.pretrained_path)
+        print(f"INFO: resumed from {args.pretrained_path} "
+              f"at epoch {trainer.epoch}")
+    trainer.fit(train_loader, val_loader, epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()

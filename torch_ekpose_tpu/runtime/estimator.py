@@ -114,6 +114,7 @@ class PoseEstimator:
         decode_backend: str = "auto",
         dest_size: int = 368,
         compute_dtype=jnp.bfloat16,
+        fuse_decode: bool = False,
     ):
         self.config = config or default_cfg
         self.model_name = model_name
@@ -126,8 +127,14 @@ class PoseEstimator:
                 model_name, input_shape=(1, 64, 64, 3), dtype=compute_dtype
             )
         self.variables = variables
+        #: Compile forward+decode as ONE XLA program. Off by default: the
+        #: merged program gives only a small steady-state win over chaining
+        #: the two cached executables (results stay on device either way)
+        #: but XLA's optimization passes take minutes on it.
+        self.fuse_decode = fuse_decode
         self._forward_cache: Dict[Tuple[int, int], any] = {}
         self._fused_cache: Dict[Tuple[int, int], any] = {}
+        self._decoder = None
 
     # -- compiled program builders (one per padded input shape) ----------
 
@@ -191,9 +198,20 @@ class PoseEstimator:
             im_pad, im_scale, _ = padding(
                 image, self.dest_size, self.config.MODEL.DOWNSAMPLE
             )
-            fused = self._fused_fn(*im_pad.shape[:2])
-            result, _, heatmap = fused(self.variables, jnp.asarray(im_pad))
             stride = self.config.MODEL.DOWNSAMPLE
+            if self.fuse_decode:
+                fused = self._fused_fn(*im_pad.shape[:2])
+                result, _, heatmap = fused(
+                    self.variables, jnp.asarray(im_pad)
+                )
+            else:
+                # two cached executables chained on device: the
+                # paf/heatmap buffers never come back to the host
+                fwd = self._forward_fn(*im_pad.shape[:2])
+                paf, heatmap = fwd(self.variables, jnp.asarray(im_pad))
+                if self._decoder is None:
+                    self._decoder = decode_device.build_decoder(self.config)
+                result = self._decoder(heatmap, paf)
             humans = decode_device.humans_from_result(
                 jax.device_get(result),
                 heatmap.shape[0] * stride, heatmap.shape[1] * stride,

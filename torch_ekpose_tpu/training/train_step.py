@@ -1,0 +1,223 @@
+"""Data-parallel training step over a device mesh.
+
+Equivalent of the reference's hot loop body (reference train.py:360-382:
+``.cuda()`` transfers, DataParallel forward, get_loss, backward, step) as a
+single jitted XLA program: batches arrive sharded over the mesh's ``data``
+axis, parameters are replicated, and XLA inserts the gradient all-reduce.
+With ``targets="device"`` the heatmap/PAF rasterization itself
+(:func:`~torch_ekpose_tpu.data.targets.gen_targets_jax`) runs inside the
+same program, eliminating the reference's CPU-side target loop
+(reference datasets.py:231-283).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from torch_ekpose_tpu import constants
+from torch_ekpose_tpu.data.targets import gen_targets_jax
+from torch_ekpose_tpu.training.loss import cpm_loss
+
+__all__ = ["TrainState", "create_train_state", "make_optimizer",
+           "make_train_step", "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any            # empty dict for BN-free models
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None
+                else self.batch_stats
+            ),
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(
+    lr: float,
+    weight_decay: float,
+    freeze_backbone: bool = False,
+) -> optax.GradientTransformation:
+    """torch ``Adam(lr, weight_decay)`` semantics — L2 added to the
+    gradient before the Adam moments (reference train.py:177-181) — via
+    add_decayed_weights + adam. The learning rate is exposed through
+    ``inject_hyperparams`` so the plateau scheduler can change it in the
+    optimizer state without recompiling.
+
+    ``freeze_backbone`` zeroes updates for the ``model0`` subtree — the
+    reference's warmup trains a separate optimizer over non-backbone
+    params (reference train.py:130-166).
+    """
+    def base(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate),
+        )
+
+    tx = optax.inject_hyperparams(base)(learning_rate=lr)
+    if freeze_backbone:
+        def label(params):
+            return {
+                k: ("frozen" if k == "model0" else "train")
+                for k in params
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label
+        )
+    return tx
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Write a new learning rate into the optimizer state."""
+    opt_state = state.opt_state
+    if isinstance(opt_state, optax.MultiTransformState):
+        inner = dict(opt_state.inner_states)
+        hs = inner["train"].inner_state
+        hs = hs._replace(hyperparams={**hs.hyperparams,
+                                      "learning_rate": jnp.asarray(lr)})
+        inner["train"] = inner["train"]._replace(inner_state=hs)
+        opt_state = opt_state._replace(inner_states=inner)
+    else:
+        opt_state = opt_state._replace(
+            hyperparams={**opt_state.hyperparams,
+                         "learning_rate": jnp.asarray(lr)}
+        )
+    return state.replace(opt_state=opt_state)
+
+
+def create_train_state(
+    model, variables: Dict, tx: optax.GradientTransformation
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.asarray(0),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    *,
+    targets: str = "host",
+    grid: Optional[Tuple[int, int]] = None,
+    stride: int = constants.DOWNSAMPLE,
+    sigma: float = constants.TARGET_SIGMA,
+):
+    """Build the jitted train step.
+
+    ``targets="host"``: step(state, images, heatmaps, pafs).
+    ``targets="device"``: step(state, images, keypoints) — targets are
+    rasterized on device; ``grid`` must be the static (gy, gx).
+    """
+    if targets == "device" and grid is None:
+        raise ValueError("targets='device' requires grid=(gy, gx)")
+
+    def compute(state, images, heat_t, paf_t):
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            if mutable:
+                ((_, saved), updated) = model.apply(
+                    variables, images, train=True, mutable=mutable
+                )
+                new_stats = updated["batch_stats"]
+            else:
+                (_, saved) = model.apply(variables, images, train=True)
+                new_stats = state.batch_stats
+            total, logs = cpm_loss(saved, heat_t, paf_t)
+            return total, (logs, new_stats)
+
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        logs["Loss"] = loss
+        return new_state, logs
+
+    if targets == "host":
+
+        @jax.jit
+        def step(state, images, heatmaps, pafs):
+            return compute(state, images, heatmaps, pafs)
+
+        return step
+
+    gy, gx = grid
+    target_fn = jax.vmap(
+        functools.partial(
+            gen_targets_jax, grid_y=gy, grid_x=gx, stride=stride, sigma=sigma
+        )
+    )
+
+    @jax.jit
+    def step_device(state, images, keypoints):
+        heatmaps, pafs = target_fn(keypoints)
+        return compute(state, images, heatmaps, pafs)
+
+    return step_device
+
+
+def make_eval_step(
+    model,
+    *,
+    targets: str = "host",
+    grid: Optional[Tuple[int, int]] = None,
+    stride: int = constants.DOWNSAMPLE,
+    sigma: float = constants.TARGET_SIGMA,
+):
+    """Validation loss step (reference train.py:395-430, no backward)."""
+
+    def compute(state, images, heat_t, paf_t):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        (_, saved) = model.apply(variables, images, train=False)
+        total, logs = cpm_loss(saved, heat_t, paf_t)
+        logs["Loss"] = total
+        return logs
+
+    if targets == "host":
+
+        @jax.jit
+        def step(state, images, heatmaps, pafs):
+            return compute(state, images, heatmaps, pafs)
+
+        return step
+
+    gy, gx = grid
+    target_fn = jax.vmap(
+        functools.partial(
+            gen_targets_jax, grid_y=gy, grid_x=gx, stride=stride, sigma=sigma
+        )
+    )
+
+    @jax.jit
+    def step_device(state, images, keypoints):
+        heatmaps, pafs = target_fn(keypoints)
+        return compute(state, images, heatmaps, pafs)
+
+    return step_device

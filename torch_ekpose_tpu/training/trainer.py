@@ -1,0 +1,214 @@
+"""The training driver (reference train.py main flow, :32-244):
+optional frozen-backbone warmup, epoch train/validate loops, plateau LR
+scheduling, checkpointing with FULL resume state (params + opt_state +
+epoch + scheduler — the reference saves bare weights only and cannot
+resume, train.py:207-218), metrics, and the training-curve PNG.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from torch_ekpose_tpu.config import Config, cfg as default_cfg
+from torch_ekpose_tpu.models import get_model, init_model
+from torch_ekpose_tpu.parallel import make_mesh, replicated, shard_batch
+from torch_ekpose_tpu.training.metrics import (
+    AverageMeter,
+    MetricsWriter,
+    save_training_curve,
+)
+from torch_ekpose_tpu.training.schedule import ReduceLROnPlateau
+from torch_ekpose_tpu.training.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_name: str = "vgg2016",
+        config: Optional[Config] = None,
+        variables: Optional[Dict] = None,
+        out_dir: str = "checkpoints",
+        log_dir: str = "logs",
+        targets: str = "device",
+        num_devices: int = 0,
+        freeze_backbone: bool = False,
+    ):
+        self.config = config or default_cfg
+        tc = self.config.TRAIN
+        self.model_name = model_name
+        self.model = get_model(model_name)
+        if variables is None:
+            _, variables = init_model(
+                model_name,
+                rng=jax.random.PRNGKey(tc.seed),
+                input_shape=(1, tc.square_size, tc.square_size, 3),
+            )
+        self.mesh = make_mesh(num_devices or tc.num_devices)
+        tx = make_optimizer(
+            tc.lr, tc.weight_decay, freeze_backbone=freeze_backbone
+        )
+        state = create_train_state(self.model, variables, tx)
+        self.state = jax.device_put(state, replicated(self.mesh))
+
+        grid = (tc.square_size // 8, tc.square_size // 8)
+        self.train_step = make_train_step(
+            self.model, targets=targets, grid=grid
+        )
+        self.eval_step = make_eval_step(
+            self.model, targets=targets, grid=grid
+        )
+        self.scheduler = ReduceLROnPlateau(
+            tc.lr, factor=tc.lr_factor, patience=tc.lr_patience
+        )
+        self.out_dir = out_dir
+        self.metrics = MetricsWriter(log_dir)
+        self.epoch = 0
+        self.best_val = float("inf")
+        self.train_curve = {"train": [], "val": []}
+
+    # -- epoch loops -----------------------------------------------------
+
+    def _run_epoch(self, loader: Iterable, train: bool) -> float:
+        loss_meter = AverageMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        end = time.time()
+        logs = {}
+        for batch in loader:
+            data_time.update(time.time() - end)
+            batch = shard_batch(self.mesh, batch)
+            if train:
+                self.state, logs = self.train_step(self.state, *batch)
+            else:
+                logs = self.eval_step(self.state, *batch)
+            loss = float(logs["Loss"])
+            loss_meter.update(loss, n=batch[0].shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+        tag = "train" if train else "val"
+        step = self.epoch
+        self.metrics.add_scalar(f"Loss/{tag}", loss_meter.avg, step)
+        if logs:
+            self.metrics.add_scalars(
+                {
+                    f"{k}/{tag}": float(v)
+                    for k, v in logs.items() if k != "Loss"
+                },
+                step,
+            )
+        self.metrics.add_scalar(f"BatchTime/{tag}", batch_time.avg, step)
+        self.metrics.add_scalar(f"DataTime/{tag}", data_time.avg, step)
+        return loss_meter.avg
+
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        epochs: Optional[int] = None,
+        save_epoch: Optional[int] = None,
+        verbose: bool = True,
+    ) -> Dict[str, list]:
+        tc = self.config.TRAIN
+        epochs = epochs if epochs is not None else tc.epochs
+        save_epoch = save_epoch if save_epoch is not None else tc.save_epoch
+        start = self.epoch
+        for epoch in range(start, epochs):
+            self.epoch = epoch
+            t0 = time.time()
+            if hasattr(train_loader, "dataset") and hasattr(
+                train_loader.dataset, "reseed"
+            ):
+                train_loader.dataset.reseed(tc.seed + epoch)
+            train_loss = self._run_epoch(train_loader, train=True)
+            val_loss = (
+                self._run_epoch(val_loader, train=False)
+                if val_loader is not None else train_loss
+            )
+            self.train_curve["train"].append(train_loss)
+            self.train_curve["val"].append(val_loss)
+
+            lr = self.scheduler.step(val_loss)
+            self.state = set_learning_rate(self.state, lr)
+            self.metrics.add_scalar("LearningRate", lr, epoch)
+            self.metrics.flush()
+            if verbose:
+                print(
+                    f"epoch {epoch}: train {train_loss:.2f} "
+                    f"val {val_loss:.2f} lr {lr:.2e} "
+                    f"({(time.time() - t0) / 60:.1f} min)"
+                )
+
+            if save_epoch and (epoch + 1) % save_epoch == 0:
+                self.save(os.path.join(self.out_dir, f"epoch_{epoch}.ckpt"))
+            if epoch > 5 and val_loss < self.best_val:
+                self.best_val = val_loss
+                self.save(os.path.join(self.out_dir, "best_epoch.ckpt"))
+            save_training_curve(
+                os.path.join(self.out_dir, "training_curve.png"),
+                self.train_curve["train"], self.train_curve["val"],
+            )
+        return self.train_curve
+
+    # -- checkpointing (full resume state) -------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        payload = {
+            "params": serialization.to_state_dict(
+                jax.device_get(self.state.params)
+            ),
+            "batch_stats": serialization.to_state_dict(
+                jax.device_get(self.state.batch_stats)
+            ),
+            "opt_state": serialization.to_state_dict(
+                jax.device_get(self.state.opt_state)
+            ),
+            "step": int(self.state.step),
+            "epoch": self.epoch + 1,
+            "best_val": self.best_val,
+            "scheduler": self.scheduler.state_dict(),
+            "train_curve": self.train_curve,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(np.asarray, payload)
+            ))
+
+    def restore(self, path: str) -> None:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        self.state = self.state.replace(
+            params=serialization.from_state_dict(
+                jax.device_get(self.state.params), payload["params"]
+            ),
+            batch_stats=serialization.from_state_dict(
+                jax.device_get(self.state.batch_stats),
+                payload["batch_stats"],
+            ),
+            opt_state=serialization.from_state_dict(
+                jax.device_get(self.state.opt_state), payload["opt_state"]
+            ),
+            step=payload["step"],
+        )
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.epoch = int(payload["epoch"])
+        self.best_val = float(payload["best_val"])
+        self.scheduler.load_state_dict(payload["scheduler"])
+        self.train_curve = {
+            k: list(v) for k, v in payload["train_curve"].items()
+        }
