@@ -1,0 +1,89 @@
+"""Numeric conversion parity against the actual reference PyTorch models.
+
+These tests import the reference implementation from /root/reference (the
+upstream snapshot mounted read-only), instantiate each DS-family model,
+convert its real state_dict with our converter, and require the flax
+forward pass to reproduce the torch forward pass on the same input.
+
+Skipped wherever the reference tree or torch is unavailable — all other
+converter behavior is covered by shape-level tests in test_runtime.py.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "lib", "network")),
+    reason="reference tree unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    """Import reference network modules with torchvision stubbed out (the
+    DS models import it at module level but only vgg2016 uses it)."""
+    if "torchvision" not in sys.modules:
+        stub = types.ModuleType("torchvision")
+        stub.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = stub
+    sys.path.insert(0, REFERENCE)
+    try:
+        from lib.network import mobilenet, mobilenetV2, shufflenetV2
+    finally:
+        sys.path.remove(REFERENCE)
+    return {
+        "mobilenet": mobilenet,
+        "mobilenetV2": mobilenetV2,
+        "shufflenetV2": shufflenetV2,
+    }
+
+
+CASES = [
+    ("mobilenet", "mobilenet", dict(conv_width=1.0, conv_width2=1.0)),
+    ("mobilenet_thin", "mobilenet", dict(conv_width=0.75, conv_width2=0.50)),
+    ("mobilenetV2", "mobilenetV2", dict(conv_width=1.0, conv_width2=1.0)),
+    ("mobilenetV2_small", "mobilenetV2",
+     dict(conv_width=0.50, conv_width2=0.50)),
+    ("shufflenetV2_1.0x", "shufflenetV2",
+     dict(conv_width=1.0, conv_width2=1.0)),
+    ("shufflenetV2_0.5x", "shufflenetV2",
+     dict(conv_width=0.5, conv_width2=0.5)),
+]
+
+
+@pytest.mark.parametrize("our_name,ref_mod,kwargs", CASES)
+def test_forward_parity(reference_modules, our_name, ref_mod, kwargs):
+    import jax.numpy as jnp
+
+    from torch_ekpose_tpu.models import get_model
+    from torch_ekpose_tpu.runtime import convert_torch_checkpoint
+
+    torch.manual_seed(0)
+    ref = reference_modules[ref_mod].OpenPose(**kwargs)
+    ref.eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    variables = convert_torch_checkpoint(state, our_name)
+    model = get_model(our_name)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        (paf_t, ht_t), _ = ref(torch.from_numpy(x))
+    paf_ref = paf_t.numpy().transpose(0, 2, 3, 1)
+    ht_ref = ht_t.numpy().transpose(0, 2, 3, 1)
+
+    (paf, ht), _ = model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(paf), paf_ref, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(ht), ht_ref, rtol=1e-3, atol=1e-4)

@@ -98,8 +98,202 @@ def _convert_vgg2016(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# depthwise-separable model families (mobilenet / mobilenetV2 / shufflenetV2)
+# ---------------------------------------------------------------------------
+
+def _dw_kernel(w: np.ndarray) -> np.ndarray:
+    """torch depthwise [C, 1, k, k] -> flax grouped-conv [k, k, 1, C]."""
+    return _conv_kernel(w)
+
+
+def _take_bn(state: Dict[str, np.ndarray], tname: str):
+    """Consume a torch BatchNorm2d -> (params, stats)."""
+    params = {
+        "scale": state.pop(f"{tname}.weight"),
+        "bias": state.pop(f"{tname}.bias"),
+    }
+    stats = {
+        "mean": state.pop(f"{tname}.running_mean"),
+        "var": state.pop(f"{tname}.running_var"),
+    }
+    state.pop(f"{tname}.num_batches_tracked", None)
+    return params, stats
+
+
+def _take_dsconv(state, tname: str):
+    """Consume a reference DSConv (reference lib/network/mobilenet.py:20-33:
+    depthwise -> pointwise -> bn)."""
+    params = {
+        "depthwise": {"kernel": _dw_kernel(state.pop(f"{tname}.depthwise.weight"))},
+        "pointwise": {"kernel": _conv_kernel(state.pop(f"{tname}.pointwise.weight"))},
+    }
+    bn_p, bn_s = _take_bn(state, f"{tname}.bn")
+    params["bn"] = bn_p
+    return params, {"bn": bn_s}
+
+
+def _convert_ds_head(state) -> tuple:
+    """The shared 5-DSConv-per-branch head (reference mobilenet.py:98-134,
+    identical in mobilenetV2.py:156-191 / shufflenetV2.py:192-228)."""
+    params, stats = {}, {}
+    for stage in range(1, 7):
+        for branch in (1, 2):
+            name = f"model{stage}_{branch}"
+            bp, bs = {}, {}
+            for j in range(5):
+                p, s = _take_dsconv(state, f"{name}.{j}")
+                bp[f"ds_{j}"] = p
+                bs[f"ds_{j}"] = s
+            params[name] = bp
+            stats[name] = bs
+    return params, stats
+
+
+def _drop_prefixes(state, prefixes) -> None:
+    """Remove parameters the reference constructs but never uses in its
+    forward pass (they still appear in its checkpoints)."""
+    for k in [k for k in state if k.startswith(tuple(prefixes))]:
+        state.pop(k)
+
+
+def _convert_mobilenet(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference lib/network/mobilenet.py: model0 is a 12-block ModuleList
+    nested inside the OpenPose's model0 attribute."""
+    params = {"model0": {}, "head": {}}
+    stats = {"model0": {}, "head": {}}
+    # block 0: ConvBN (conv + bn)
+    p0 = {"conv": {"kernel": _conv_kernel(
+        state.pop("model0.model0.0.conv.weight"))}}
+    bn_p, bn_s = _take_bn(state, "model0.model0.0.bn")
+    p0["bn"] = bn_p
+    params["model0"]["block_0"] = p0
+    stats["model0"]["block_0"] = {"bn": bn_s}
+    for i in range(1, 12):
+        p, s = _take_dsconv(state, f"model0.model0.{i}")
+        params["model0"][f"block_{i}"] = p
+        stats["model0"][f"block_{i}"] = s
+    params["head"], stats["head"] = _convert_ds_head(state)
+    if state:
+        raise ValueError(
+            f"unconsumed reference parameters: {sorted(state)[:8]}..."
+        )
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_mobilenet_v2(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference lib/network/mobilenetV2.py. irblock14-17, avgpool, and
+    last_layer are constructed but unused by the forward pass
+    (mobilenetV2.py:107-114 vs :118-138) and are dropped."""
+    _drop_prefixes(state, [
+        "model0.irblock14.", "model0.irblock15.", "model0.irblock16.",
+        "model0.irblock17.", "model0.last_layer.",
+    ])
+    params = {"model0": {}, "head": {}}
+    stats = {"model0": {}, "head": {}}
+    # stem ConvBN is an nn.Sequential: conv at .0, bn at .1
+    stem = {"conv": {"kernel": _conv_kernel(
+        state.pop("model0.features.0.weight"))}}
+    bn_p, bn_s = _take_bn(state, "model0.features.1")
+    stem["bn"] = bn_p
+    params["model0"]["stem"] = stem
+    stats["model0"]["stem"] = {"bn": bn_s}
+
+    for k in range(1, 14):
+        base = f"model0.irblock{k}.conv"
+        p, s = {}, {}
+        if k == 1:  # expand_ratio == 1: dw at .0/.1, project at .3/.4
+            p["depthwise"] = {"kernel": _dw_kernel(
+                state.pop(f"{base}.0.weight"))}
+            bp, bs = _take_bn(state, f"{base}.1")
+            p["depthwise_bn"], s["depthwise_bn"] = bp, bs
+            p["project"] = {"kernel": _conv_kernel(
+                state.pop(f"{base}.3.weight"))}
+            bp, bs = _take_bn(state, f"{base}.4")
+            p["project_bn"], s["project_bn"] = bp, bs
+        else:  # expand at .0/.1, dw at .3/.4, project at .6/.7
+            p["expand"] = {"kernel": _conv_kernel(
+                state.pop(f"{base}.0.weight"))}
+            bp, bs = _take_bn(state, f"{base}.1")
+            p["expand_bn"], s["expand_bn"] = bp, bs
+            p["depthwise"] = {"kernel": _dw_kernel(
+                state.pop(f"{base}.3.weight"))}
+            bp, bs = _take_bn(state, f"{base}.4")
+            p["depthwise_bn"], s["depthwise_bn"] = bp, bs
+            p["project"] = {"kernel": _conv_kernel(
+                state.pop(f"{base}.6.weight"))}
+            bp, bs = _take_bn(state, f"{base}.7")
+            p["project_bn"], s["project_bn"] = bp, bs
+        params["model0"][f"irblock_{k}"] = p
+        stats["model0"][f"irblock_{k}"] = s
+
+    params["head"], stats["head"] = _convert_ds_head(state)
+    if state:
+        raise ValueError(
+            f"unconsumed reference parameters: {sorted(state)[:8]}..."
+        )
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_shufflenet_v2(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference lib/network/shufflenetV2.py. stage4 and conv5 are
+    constructed but unused by the forward pass (shufflenetV2.py:140-152 vs
+    :155-168) and are dropped."""
+    _drop_prefixes(state, ["model0.stage4.", "model0.conv5."])
+    params = {"model0": {}, "head": {}}
+    stats = {"model0": {}, "head": {}}
+    params["model0"]["conv1"] = {"kernel": _conv_kernel(
+        state.pop("model0.conv1.0.weight"))}
+    bn_p, bn_s = _take_bn(state, "model0.conv1.1")
+    params["model0"]["conv1_bn"] = bn_p
+    stats["model0"]["conv1_bn"] = bn_s
+
+    def take_branch2(base, p, s):
+        p["b2_pw1"] = {"kernel": _conv_kernel(state.pop(f"{base}.0.weight"))}
+        bp, bs = _take_bn(state, f"{base}.1")
+        p["b2_pw1_bn"], s["b2_pw1_bn"] = bp, bs
+        p["b2_dw"] = {"kernel": _dw_kernel(state.pop(f"{base}.3.weight"))}
+        bp, bs = _take_bn(state, f"{base}.4")
+        p["b2_dw_bn"], s["b2_dw_bn"] = bp, bs
+        p["b2_pw2"] = {"kernel": _conv_kernel(state.pop(f"{base}.5.weight"))}
+        bp, bs = _take_bn(state, f"{base}.6")
+        p["b2_pw2_bn"], s["b2_pw2_bn"] = bp, bs
+
+    for stage, repeats in (("stage2", 4), ("stage3", 8)):
+        for i in range(repeats):
+            base = f"model0.{stage}.{i}"
+            p, s = {}, {}
+            if i == 0:  # stride-2 unit has branch1: dw@0, bn@1, pw@2, bn@3
+                # (no activation between dw-bn and pw, shufflenetV2.py:64-73)
+                p["b1_dw"] = {"kernel": _dw_kernel(
+                    state.pop(f"{base}.branch1.0.weight"))}
+                bp, bs = _take_bn(state, f"{base}.branch1.1")
+                p["b1_dw_bn"], s["b1_dw_bn"] = bp, bs
+                p["b1_pw"] = {"kernel": _conv_kernel(
+                    state.pop(f"{base}.branch1.2.weight"))}
+                bp, bs = _take_bn(state, f"{base}.branch1.3")
+                p["b1_pw_bn"], s["b1_pw_bn"] = bp, bs
+            take_branch2(f"{base}.branch2", p, s)
+            params["model0"][f"{stage}_{i}"] = p
+            stats["model0"][f"{stage}_{i}"] = s
+
+    params["head"], stats["head"] = _convert_ds_head(state)
+    if state:
+        raise ValueError(
+            f"unconsumed reference parameters: {sorted(state)[:8]}..."
+        )
+    return {"params": params, "batch_stats": stats}
+
+
 _CONVERTERS = {
     "vgg2016": _convert_vgg2016,
+    "mobilenet": _convert_mobilenet,
+    "mobilenet_thin": _convert_mobilenet,
+    "mobilenetV2": _convert_mobilenet_v2,
+    "mobilenetV2_large": _convert_mobilenet_v2,
+    "mobilenetV2_small": _convert_mobilenet_v2,
+    "shufflenetV2_1.0x": _convert_shufflenet_v2,
+    "shufflenetV2_0.5x": _convert_shufflenet_v2,
 }
 
 
