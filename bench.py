@@ -22,6 +22,12 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compiles entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from torch_ekpose_tpu.config import get_default_config

@@ -183,11 +183,20 @@ def _score_all_limbs(
 def _greedy_match_one(score: jax.Array, k: int):
     """Greedy 1:1 matching on one [K, K] score matrix
     (reference pafprocess.cpp:96-124: sorted scan == repeated masked argmax
-    for distinct scores). Returns (ia, ib, score, valid), each [K]."""
+    for distinct scores). Returns (ia, ib, score, valid), each [K].
+
+    Runs as an early-exiting while_loop so the sequential cost scales with
+    the number of ACCEPTED connections (~people per image), not the static
+    capacity K. Under vmap the loop runs until every limb pair is done.
+    """
     neg = -jnp.inf
 
-    def body(t, carry):
-        used_a, used_b, out_ia, out_ib, out_s, out_v = carry
+    def cond(carry):
+        t, alive, *_ = carry
+        return alive & (t < k)
+
+    def body(carry):
+        t, _, used_a, used_b, out_ia, out_ib, out_s, out_v = carry
         masked = jnp.where(
             used_a[:, None] | used_b[None, :], neg, score
         )
@@ -202,14 +211,15 @@ def _greedy_match_one(score: jax.Array, k: int):
         out_ib = out_ib.at[t].set(jnp.where(accept, ib, -1))
         out_s = out_s.at[t].set(jnp.where(accept, val, 0.0))
         out_v = out_v.at[t].set(accept)
-        return used_a, used_b, out_ia, out_ib, out_s, out_v
+        return t + 1, accept, used_a, used_b, out_ia, out_ib, out_s, out_v
 
     init = (
+        jnp.asarray(0), jnp.asarray(True),
         jnp.zeros(k, bool), jnp.zeros(k, bool),
         jnp.full(k, -1, jnp.int32), jnp.full(k, -1, jnp.int32),
         jnp.zeros(k, jnp.float32), jnp.zeros(k, bool),
     )
-    _, _, ia, ib, s, v = jax.lax.fori_loop(0, k, body, init)
+    _, _, _, _, ia, ib, s, v = jax.lax.while_loop(cond, body, init)
     return ia, ib, s, v
 
 
@@ -222,19 +232,33 @@ def _merge_people(
     cap: int, k: int,
 ):
     """Person grouping (reference pafprocess.cpp:127-185) over the [19, K]
-    connection tables. Returns (subset [cap, 20], active [cap], n_rows)."""
+    connection tables. Returns (subset [cap, 20], active [cap], n_rows).
+
+    Valid connections are compacted to the front (stable, preserving the
+    reference's pair-major, score-descending processing order) and the
+    sequential merge runs as a while_loop over only those — cost scales
+    with the actual number of connections in the image.
+    """
     pairs = jnp.asarray(constants.COCO_PAIRS)
     n_slots = 19 * k
 
+    valid_flat = conn_valid.reshape(-1)
+    order = jnp.argsort(~valid_flat, stable=True)
+    n_valid = jnp.sum(valid_flat)
+    cid1_flat = conn_cid1.reshape(-1)[order]
+    cid2_flat = conn_cid2.reshape(-1)[order]
+    score_flat = conn_score.reshape(-1)[order]
+    valid_sorted = valid_flat[order]
+    pair_flat = (order // k).astype(jnp.int32)
+
     def body(s, carry):
         subset, active, n_rows = carry
-        pair = s // k
-        ci = s % k
+        pair = pair_flat[s]
         p1, p2 = pairs[pair, 0], pairs[pair, 1]
-        cid1 = conn_cid1[pair, ci].astype(jnp.float32)
-        cid2 = conn_cid2[pair, ci].astype(jnp.float32)
-        score = conn_score[pair, ci]
-        valid = conn_valid[pair, ci]
+        cid1 = cid1_flat[s].astype(jnp.float32)
+        cid2 = cid2_flat[s].astype(jnp.float32)
+        score = score_flat[s]
+        valid = valid_sorted[s]
 
         col1 = jax.nn.one_hot(p1, 20, dtype=subset.dtype)
         col2 = jax.nn.one_hot(p2, 20, dtype=subset.dtype)
@@ -324,7 +348,18 @@ def _merge_people(
         jnp.zeros(cap, bool),
         jnp.asarray(0, jnp.int32),
     )
-    return jax.lax.fori_loop(0, n_slots, body, init)
+
+    def while_cond(c):
+        return c[0] < jnp.minimum(n_valid, n_slots)
+
+    def while_body(c):
+        s, carry = c[0], c[1:]
+        return (s + 1,) + tuple(body(s, carry))
+
+    out = jax.lax.while_loop(
+        while_cond, while_body, (jnp.asarray(0, jnp.int32),) + init
+    )
+    return out[1], out[2], out[3]
 
 
 # ---------------------------------------------------------------------------
