@@ -24,7 +24,10 @@ from torch_ekpose_tpu.data import transforms as T
 from torch_ekpose_tpu.data.coco import COCO
 from torch_ekpose_tpu.data.targets import gen_targets_np
 
-__all__ = ["CocoKeypoints", "BatchLoader"]
+__all__ = [
+    "CocoKeypoints", "BatchLoader", "ImageList", "PilImageList",
+    "collate_images_anns_meta", "collate_images_targets_meta",
+]
 
 
 class CocoKeypoints:
@@ -141,6 +144,60 @@ class CocoKeypoints:
     def reseed(self, seed: int) -> None:
         """Change the augmentation seed (call once per epoch)."""
         self._seed = seed
+
+
+class ImageList:
+    """Inference dataset over image paths (reference datasets.py:289-309):
+    items are (path, original_image HWC float [0,1], transformed image)."""
+
+    def __init__(self, image_paths, preprocess=None, image_transform=None):
+        self.image_paths = list(image_paths)
+        self.preprocess = preprocess
+        self.image_transform = image_transform or T.image_transform
+
+    def __getitem__(self, index: int):
+        path = self.image_paths[index]
+        with open(path, "rb") as f:
+            image = PIL.Image.open(f).convert("RGB")
+        if self.preprocess is not None:
+            image = self.preprocess(image, [], None)[0]
+        original = np.asarray(image, dtype=np.float32) / 255.0
+        return path, original, self.image_transform(image)
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+
+class PilImageList:
+    """Inference dataset over in-memory PIL images
+    (reference datasets.py:312-325)."""
+
+    def __init__(self, images, image_transform=None):
+        self.images = list(images)
+        self.image_transform = image_transform or T.image_transform
+
+    def __getitem__(self, index: int):
+        pil = self.images[index].copy().convert("RGB")
+        original = np.asarray(pil, dtype=np.float32) / 255.0
+        return index, original, self.image_transform(pil)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def collate_images_anns_meta(batch):
+    """(stacked images, ann lists, meta lists)
+    (reference datasets.py:64-68)."""
+    images = np.stack([b[0] for b in batch])
+    anns = [b[1] for b in batch]
+    metas = [b[2] for b in batch]
+    return images, anns, metas
+
+
+def collate_images_targets_meta(batch):
+    """(stacked images, stacked heatmaps, stacked pafs)
+    (reference datasets.py:82-88)."""
+    return tuple(np.stack([b[i] for b in batch]) for i in range(3))
 
 
 class BatchLoader:
