@@ -40,8 +40,12 @@ def _build_dataset(tmp_path, n_images=3):
     images, annotations, gt18 = [], [], {}
     ann_id = 1
     for img_id in range(1, n_images + 1):
-        name = f"{img_id:012d}.jpg"
-        Image.new("RGB", (IMG_W, IMG_H)).save(img_dir / name)
+        name = f"{img_id:012d}.png"
+        # solid fill encodes the image id so batched fakes can recover it
+        fill = img_id * 20
+        Image.new("RGB", (IMG_W, IMG_H), (fill, fill, fill)).save(
+            img_dir / name
+        )
         images.append({
             "id": img_id, "width": IMG_W, "height": IMG_H, "file_name": name,
         })
@@ -79,16 +83,31 @@ class FakeEstimator:
         self.gt18 = gt18
         self.config = Config()
         self.decode_backend = "numpy"
+        self.dest_size = 368
         self._img_id = None
+
+    def _targets(self, img_id, gy, gx, scale):
+        kpts = np.stack(self.gt18[img_id]).copy()
+        kpts[:, :, :2] *= scale
+        return gen_targets_np(kpts, gy, gx, 8, 7.0)
 
     def get_outputs(self, image):
         im_pad, scale, _ = padding(image, 368, 8)
         gy, gx = im_pad.shape[0] // 8, im_pad.shape[1] // 8
-        people = self.gt18[self._img_id]
-        kpts = np.stack(people).copy()
-        kpts[:, :, :2] *= scale
-        heat, pafs = gen_targets_np(kpts, gy, gx, 8, 7.0)
+        heat, pafs = self._targets(self._img_id, gy, gx, scale)
         return pafs, heat, scale
+
+    def get_outputs_batch(self, images):
+        # images carry their id as a solid fill color (id * 20)
+        scale = 368.0 / max(IMG_W, IMG_H)
+        gy, gx = images.shape[1] // 8, images.shape[2] // 8
+        pafs_b, heat_b = [], []
+        for im in images:
+            img_id = int(round(float(im[0, 0, 0]) / 20.0))
+            heat, pafs = self._targets(img_id, gy, gx, scale)
+            pafs_b.append(pafs)
+            heat_b.append(heat)
+        return np.stack(pafs_b), np.stack(heat_b)
 
 
 def test_eval_pipeline_perfect_model(tmp_path):
@@ -113,3 +132,31 @@ def test_eval_pipeline_perfect_model(tmp_path):
     finally:
         ev_mod.read_image_bgr = orig_read
     assert ap > 0.75, f"AP {ap}"
+
+
+def test_eval_pipeline_batched_matches_single(tmp_path):
+    pytest.importorskip("PIL")
+    img_dir, anno, gt18 = _build_dataset(tmp_path, n_images=5)
+    est = FakeEstimator(gt18)
+    ap_batched = run_eval(
+        img_dir, anno, est, mode="val", progress=False, batch_size=2
+    )
+    assert ap_batched > 0.75, f"AP {ap_batched}"
+
+
+def test_batched_forward_matches_single_forward():
+    import jax.numpy as jnp
+
+    from torch_ekpose_tpu.runtime import PoseEstimator
+
+    est = PoseEstimator(
+        "vgg2016", decode_backend="numpy", dest_size=64,
+        compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    pafs_b, heat_b = est.get_outputs_batch(images)
+    for i in range(2):
+        pafs_1, heat_1, _ = est.get_outputs(images[i])
+        np.testing.assert_allclose(pafs_b[i], pafs_1, atol=2e-4)
+        np.testing.assert_allclose(heat_b[i], heat_1, atol=2e-4)

@@ -26,6 +26,9 @@ def main(argv=None) -> None:
                         help="keep results.json")
     parser.add_argument("--vis-dir", type=str, default="results/")
     parser.add_argument("--n-images", type=int, default=None)
+    parser.add_argument("-b", "--batch", type=int, default=1,
+                        help="shape-bucketed batch size (>1 batches the "
+                        "forward pass per padded-shape bucket)")
     args = parser.parse_args(argv)
 
     estimator = common.build_estimator(args)
@@ -44,6 +47,7 @@ def main(argv=None) -> None:
             os.path.join(args.vis_dir, "results.json") if args.json else None
         ),
         n_images=args.n_images,
+        batch_size=args.batch,
     )
     print(f"AP@OKS = {ap:.4f}")
 

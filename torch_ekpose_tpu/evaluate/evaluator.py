@@ -98,9 +98,15 @@ def run_eval(
     results_json: Optional[str] = None,
     n_images: Optional[int] = None,
     progress: bool = True,
+    batch_size: int = 1,
 ) -> float:
     """Evaluate an estimator over a COCO-format dataset
-    (reference eval.py:129-170)."""
+    (reference eval.py:129-170).
+
+    ``batch_size > 1`` buckets images by padded shape and batches the
+    forward pass per bucket — the TPU-native eval path the batch-1
+    reference lacks. Result rows are identical either way.
+    """
     coco = COCO(anno_file)
     if mode == "val":
         cat_ids = coco.getCatIds(catNms=["person"])
@@ -121,28 +127,83 @@ def run_eval(
 
     stride = estimator.config.MODEL.DOWNSAMPLE
     outputs: List[dict] = []
-    for i, img_id in enumerate(iterator):
+    if batch_size <= 1:
+        for i, img_id in enumerate(iterator):
+            info = coco.loadImgs(img_id)[0]
+            image = read_image_bgr(
+                os.path.join(image_dir, info["file_name"])
+            )
+            pafs, heatmaps, scale = estimator.get_outputs(image)
+            humans = _decode(estimator, heatmaps, pafs)
+            if vis_dir and save_every and i % save_every == 0:
+                os.makedirs(vis_dir, exist_ok=True)
+                out = draw_humans(image, humans)
+                _write_image(os.path.join(vis_dir, info["file_name"]), out)
+            upsample = (
+                heatmaps.shape[0] * stride / scale,
+                heatmaps.shape[1] * stride / scale,
+            )
+            append_result(img_id, humans, upsample, outputs)
+        return eval_coco(outputs, anno_file, img_ids, results_json)
+
+    _run_eval_batched(
+        image_dir, coco, img_ids, estimator, iterator, stride, batch_size,
+        outputs,
+    )
+    return eval_coco(outputs, anno_file, img_ids, results_json)
+
+
+def _decode(estimator, heatmaps, pafs) -> List[Human]:
+    from torch_ekpose_tpu.decode import paf_to_pose
+
+    backend = estimator.decode_backend
+    if backend == "jax":
+        backend = "auto"  # host decode of already-fetched maps
+    return paf_to_pose(heatmaps, pafs, estimator.config, backend=backend)
+
+
+def _run_eval_batched(
+    image_dir, coco, img_ids, estimator, iterator, stride, batch_size,
+    outputs,
+) -> None:
+    """Shape-bucketed batched evaluation."""
+    from torch_ekpose_tpu.runtime.estimator import padding
+
+    buckets = {}  # padded (h, w) -> list of (img_id, padded, scale)
+    ready = []
+
+    def flush(bucket):
+        # pad remainder buckets to the full batch size so each padded
+        # shape compiles exactly one executable
+        stack = np.stack(
+            [b[1] for b in bucket]
+            + [bucket[-1][1]] * (batch_size - len(bucket))
+        )
+        pafs_b, heatmaps_b = estimator.get_outputs_batch(stack)
+        for (img_id, _, scale), pafs, heatmaps in zip(
+            bucket, pafs_b, heatmaps_b
+        ):
+            humans = _decode(estimator, heatmaps, pafs)
+            upsample = (
+                heatmaps.shape[0] * stride / scale,
+                heatmaps.shape[1] * stride / scale,
+            )
+            append_result(img_id, humans, upsample, ready)
+
+    for img_id in iterator:
         info = coco.loadImgs(img_id)[0]
         image = read_image_bgr(os.path.join(image_dir, info["file_name"]))
-        pafs, heatmaps, scale = estimator.get_outputs(image)
-        from torch_ekpose_tpu.decode import paf_to_pose
-
-        humans = paf_to_pose(
-            heatmaps, pafs, estimator.config,
-            backend=estimator.decode_backend
-            if estimator.decode_backend != "jax" else "auto",
+        im_pad, scale, _ = padding(
+            image, estimator.dest_size, stride
         )
-        if vis_dir and save_every and i % save_every == 0:
-            os.makedirs(vis_dir, exist_ok=True)
-            out = draw_humans(image, humans)
-            _write_image(os.path.join(vis_dir, info["file_name"]), out)
-        upsample = (
-            heatmaps.shape[0] * stride / scale,
-            heatmaps.shape[1] * stride / scale,
-        )
-        append_result(img_id, humans, upsample, outputs)
-
-    return eval_coco(outputs, anno_file, img_ids, results_json)
+        key = im_pad.shape[:2]
+        buckets.setdefault(key, []).append((img_id, im_pad, scale))
+        if len(buckets[key]) >= batch_size:
+            flush(buckets.pop(key))
+    for bucket in buckets.values():
+        flush(bucket)
+    # image order does not matter to the evaluator, but keep rows grouped
+    outputs.extend(ready)
 
 
 def _write_image(path: str, img: np.ndarray) -> None:

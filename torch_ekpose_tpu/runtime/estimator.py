@@ -176,7 +176,34 @@ class PoseEstimator:
             self._fused_cache[key] = fused
         return self._fused_cache[key]
 
+    def _batch_forward_fn(self, h: int, w: int):
+        key = ("batch", h, w)
+        if key not in self._forward_cache:
+            mode = self.preprocess
+
+            @jax.jit
+            def fwd(variables, images):
+                x = jax.vmap(lambda im: preprocess_jax(im, mode))(images)
+                (paf, heatmap), _ = self.model.apply(
+                    variables, x, train=False
+                )
+                return (
+                    paf.astype(jnp.float32), heatmap.astype(jnp.float32),
+                )
+
+            self._forward_cache[key] = fwd
+        return self._forward_cache[key]
+
     # -- public API -------------------------------------------------------
+
+    def get_outputs_batch(self, images: np.ndarray):
+        """Batched forward over same-shape padded images [B, H, W, 3] ->
+        (pafs [B, h, w, 38], heatmaps [B, h, w, 19]). The reference
+        evaluates strictly batch-1 (reference eval.py:144-156); batching
+        same-shape buckets is the TPU-native eval path."""
+        fwd = self._batch_forward_fn(*images.shape[1:3])
+        paf, heatmap = fwd(self.variables, jnp.asarray(images))
+        return np.asarray(paf), np.asarray(heatmap)
 
     def get_outputs(
         self, image: np.ndarray
