@@ -78,19 +78,14 @@ def _find_topk_peaks(heatmaps: jax.Array, thresh: float, k: int):
     A peak is a 4-neighborhood local max above ``thresh``
     (reference paf_to_pose.py:34-36). Selection is top-k by score.
     """
+    from torch_ekpose_tpu.ops.pallas_nms import masked_peak_scores
+
     h, w, _ = heatmaps.shape
     m = jnp.transpose(heatmaps, (2, 0, 1))                # [18, H, W]
-    neg = jnp.asarray(-jnp.inf, m.dtype)
-    padded = jnp.pad(m, ((0, 0), (1, 1), (1, 1)), constant_values=neg)
-    neigh = jnp.maximum(
-        jnp.maximum(padded[:, :-2, 1:-1], padded[:, 2:, 1:-1]),
-        jnp.maximum(padded[:, 1:-1, :-2], padded[:, 1:-1, 2:]),
-    )
-    is_peak = (m >= neigh) & (m > thresh)
-    masked = jnp.where(is_peak, m, neg).reshape(18, h * w)
+    masked = masked_peak_scores(m, thresh).reshape(18, h * w)
     score, idx = jax.lax.top_k(masked, k)                 # [18, K]
     py, px = idx // w, idx % w
-    valid = score > neg
+    valid = score > -jnp.inf
     return px, py, jnp.where(valid, score, 0.0), valid
 
 
