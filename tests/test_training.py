@@ -54,7 +54,7 @@ def test_loss_matches_reference_semantics(rng):
 
 def test_train_step_decreases_loss_data_parallel(small_model):
     model, variables = small_model
-    mesh = make_mesh(8)
+    mesh = make_mesh(4)
     tx = make_optimizer(1e-4, 5e-4)
     state = jax.device_put(
         create_train_state(model, variables, tx), replicated(mesh)
@@ -62,19 +62,19 @@ def test_train_step_decreases_loss_data_parallel(small_model):
     step = make_train_step(model, targets="device", grid=GRID)
 
     rng = np.random.default_rng(0)
-    images = rng.normal(0, 1, (8, S, S, 3)).astype(np.float32)
-    kpts = np.zeros((8, 4, 18, 3), dtype=np.float32)
-    kpts[:, 0, :, 0] = rng.uniform(10, 54, (8, 18))
-    kpts[:, 0, :, 1] = rng.uniform(10, 54, (8, 18))
+    images = rng.normal(0, 1, (4, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((4, 4, 18, 3), dtype=np.float32)
+    kpts[:, 0, :, 0] = rng.uniform(10, 54, (4, 18))
+    kpts[:, 0, :, 1] = rng.uniform(10, 54, (4, 18))
     kpts[:, 0, :, 2] = 2
     batch = shard_batch(mesh, (images, kpts))
 
     losses = []
-    for _ in range(4):
+    for _ in range(2):
         state, logs = step(state, *batch)
         losses.append(float(logs["Loss"]))
     assert losses[-1] < losses[0]
-    assert int(state.step) == 4
+    assert int(state.step) == 2
 
 
 def test_eval_step_runs_and_matches_loss_scale(small_model):

@@ -158,25 +158,27 @@ def make_train_step(
         logs["Loss"] = loss
         return new_state, logs
 
+    @jax.jit
+    def step(state, images, heatmaps, pafs):
+        return compute(state, images, heatmaps, pafs)
+
     if targets == "host":
-
-        @jax.jit
-        def step(state, images, heatmaps, pafs):
-            return compute(state, images, heatmaps, pafs)
-
         return step
 
     gy, gx = grid
-    target_fn = jax.vmap(
+    # Target rasterization is its own (trivially fast) executable chained
+    # on device: fusing it into the fwd+bwd program sends XLA's
+    # optimization passes on the merged graph into the multi-minute range
+    # at full resolution, for no runtime benefit.
+    target_fn = jax.jit(jax.vmap(
         functools.partial(
             gen_targets_jax, grid_y=gy, grid_x=gx, stride=stride, sigma=sigma
         )
-    )
+    ))
 
-    @jax.jit
     def step_device(state, images, keypoints):
         heatmaps, pafs = target_fn(keypoints)
-        return compute(state, images, heatmaps, pafs)
+        return step(state, images, heatmaps, pafs)
 
     return step_device
 
@@ -200,24 +202,22 @@ def make_eval_step(
         logs["Loss"] = total
         return logs
 
+    @jax.jit
+    def step(state, images, heatmaps, pafs):
+        return compute(state, images, heatmaps, pafs)
+
     if targets == "host":
-
-        @jax.jit
-        def step(state, images, heatmaps, pafs):
-            return compute(state, images, heatmaps, pafs)
-
         return step
 
     gy, gx = grid
-    target_fn = jax.vmap(
+    target_fn = jax.jit(jax.vmap(
         functools.partial(
             gen_targets_jax, grid_y=gy, grid_x=gx, stride=stride, sigma=sigma
         )
-    )
+    ))
 
-    @jax.jit
     def step_device(state, images, keypoints):
         heatmaps, pafs = target_fn(keypoints)
-        return compute(state, images, heatmaps, pafs)
+        return step(state, images, heatmaps, pafs)
 
     return step_device

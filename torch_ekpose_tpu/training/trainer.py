@@ -47,16 +47,23 @@ class Trainer:
         targets: str = "device",
         num_devices: int = 0,
         freeze_backbone: bool = False,
+        compute_dtype=None,
     ):
         self.config = config or default_cfg
         tc = self.config.TRAIN
         self.model_name = model_name
-        self.model = get_model(model_name)
+        # activations in bfloat16 keep the MXU at full rate; params and the
+        # loss stay float32 (cpm_loss upcasts before the squared error)
+        import jax.numpy as jnp
+
+        dtype = compute_dtype or jnp.float32
+        self.model = get_model(model_name, dtype=dtype)
         if variables is None:
             _, variables = init_model(
                 model_name,
                 rng=jax.random.PRNGKey(tc.seed),
                 input_shape=(1, tc.square_size, tc.square_size, 3),
+                dtype=dtype,
             )
         self.mesh = make_mesh(num_devices or tc.num_devices)
         tx = make_optimizer(
