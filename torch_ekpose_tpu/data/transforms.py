@@ -39,6 +39,7 @@ __all__ = [
     "RescaleAbsolute", "Crop", "CenterPad", "HFlip", "RandomApply",
     "RandomRotate", "horizontal_swap_coco", "mask_valid_area",
     "image_transform", "image_transform_train", "TRAIN_PREPROCESS",
+    "blur_augmentation", "display_annotations",
 ]
 
 
@@ -453,6 +454,57 @@ def _jpeg_compression(image, quality=50):
     image.save(buf, "jpeg", quality=quality)
     buf.seek(0)
     return PIL.Image.open(buf).convert("RGB")
+
+
+def blur_augmentation(
+    image: PIL.Image.Image,
+    rng: Optional[np.random.Generator] = None,
+    max_sigma: float = 5.0,
+) -> PIL.Image.Image:
+    """Random Gaussian blur (reference transforms.py:65-69; unused by the
+    reference train pipeline but part of its augmentation toolkit)."""
+    rng = rng or np.random.default_rng()
+    sigma = max_sigma * rng.random()
+    radius = max(1, int(round(3 * sigma)))
+    arr = np.asarray(image, dtype=np.float64)
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    kernel = np.exp(-(xs ** 2) / (2 * max(sigma, 1e-6) ** 2))
+    kernel /= kernel.sum()
+    # separable blur along each spatial axis
+    for axis in (0, 1):
+        arr = np.apply_along_axis(
+            lambda m: np.convolve(
+                np.pad(m, radius, mode="edge"), kernel, mode="valid"
+            ),
+            axis, arr,
+        )
+    return PIL.Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+
+
+def display_annotations(image, anns, title=None):
+    """Debug visualization of keypoints + boxes over an image
+    (reference transforms.py:18-56); returns the matplotlib figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as patches
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.imshow(image)
+    for i, ann in enumerate(anns):
+        kp = np.asarray(ann["keypoints"]).reshape(-1, 3)
+        visible = kp[kp[:, 2] > 0]
+        if len(visible) == 0:
+            continue
+        bbox = ann["bbox"]
+        ax.add_patch(patches.Rectangle(
+            (bbox[0], bbox[1]), bbox[2], bbox[3],
+            linewidth=2, edgecolor=f"C{i}", facecolor="none",
+        ))
+        ax.scatter(visible[:, 0], visible[:, 1], c=f"C{i}", s=30, alpha=0.8)
+    ax.set_title(title or "annotations")
+    return fig
 
 
 def image_transform_train(

@@ -21,20 +21,29 @@ from torch_ekpose_tpu.utils.human import Human, draw_humans
 __all__ = ["append_result", "eval_coco", "run_eval", "read_image_bgr"]
 
 
-def read_image_bgr(path: str) -> np.ndarray:
-    """Read an image as HWC uint8 BGR (cv2 convention; PIL fallback)."""
+def read_image_bgr(
+    path: str, width: Optional[int] = None, height: Optional[int] = None
+) -> np.ndarray:
+    """Read an image as HWC uint8 BGR (cv2 convention; PIL fallback), with
+    the optional resize of the reference's ``read_imgfile``
+    (reference lib/config/utils.py:17-21)."""
     try:
         import cv2
 
         img = cv2.imread(path)
         if img is None:
             raise FileNotFoundError(path)
+        if width is not None and height is not None:
+            img = cv2.resize(img, (width, height))
         return img
     except ImportError:
         from PIL import Image
 
         with open(path, "rb") as f:
-            rgb = np.asarray(Image.open(f).convert("RGB"))
+            pil = Image.open(f).convert("RGB")
+            if width is not None and height is not None:
+                pil = pil.resize((width, height))
+            rgb = np.asarray(pil)
         return rgb[:, :, ::-1].copy()
 
 
