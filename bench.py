@@ -31,7 +31,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from torch_ekpose_tpu.config import get_default_config
-    from torch_ekpose_tpu.models import init_model
+    from torch_ekpose_tpu.models import cast_params, init_model
     from torch_ekpose_tpu.decode import device as decode_device
     from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
@@ -40,19 +40,19 @@ def main() -> None:
     model, variables = init_model(
         "vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfloat16
     )
+    variables = cast_params(variables, jnp.bfloat16)
     decoder = decode_device.build_decoder(cfg)
 
     @jax.jit
-    def forward(variables, frame):
+    def infer(variables, frame):
+        # preprocess -> 6-stage CPM forward -> full pose decode as ONE
+        # fused XLA program: nothing returns to the host until the
+        # fixed-shape DecodeResult
         x = preprocess_jax(frame, "vgg")[None].astype(jnp.bfloat16)
         (paf, heatmap), _ = model.apply(variables, x, train=False)
-        return paf[0].astype(jnp.float32), heatmap[0].astype(jnp.float32)
-
-    def infer(variables, frame):
-        # two cached executables chained on device (see
-        # PoseEstimator.fuse_decode for why this is not one XLA program)
-        paf, heatmap = forward(variables, frame)
-        return decoder(heatmap, paf)
+        return decoder(
+            heatmap[0].astype(jnp.float32), paf[0].astype(jnp.float32)
+        )
 
     rng = np.random.default_rng(0)
     frames = [

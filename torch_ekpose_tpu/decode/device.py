@@ -95,11 +95,21 @@ def _refine_peaks(heatmaps: jax.Array, px, py, upsamp: int):
     h, w, _ = heatmaps.shape
     up_mat = jnp.asarray(resize_matrix(_PATCH, _PATCH * upsamp, "cubic"))
 
+    # patch extraction as two one-hot contractions (exact; avoids the slow
+    # TPU gather path — same trick as the PAF sampling in _score_all_limbs)
+    hi = jax.lax.Precision.HIGHEST
     offs = jnp.arange(-_WIN, _WIN + 1)
-    gy = jnp.clip(py[..., None, None] + offs[None, None, :, None], 0, h - 1)
-    gx = jnp.clip(px[..., None, None] + offs[None, None, None, :], 0, w - 1)
-    part_idx = jnp.arange(18)[:, None, None, None]
-    patch = heatmaps[gy, gx, part_idx]                    # [18, K, 5, 5]
+    gy = jnp.clip(py[..., None] + offs[None, None, :], 0, h - 1)  # [18,K,5]
+    gx = jnp.clip(px[..., None] + offs[None, None, :], 0, w - 1)
+    hm_t = jnp.transpose(heatmaps, (2, 0, 1))             # [18, H, W]
+    oh_y = (jnp.arange(h)[None, None, None] == gy[..., None]).astype(
+        heatmaps.dtype
+    )                                                     # [18, K, 5, H]
+    rows = jnp.einsum("jkrh,jhw->jkrw", oh_y, hm_t, precision=hi)
+    oh_x = (jnp.arange(w)[None, None, None] == gx[..., None]).astype(
+        heatmaps.dtype
+    )                                                     # [18, K, 5, W]
+    patch = jnp.einsum("jkrw,jkcw->jkrc", rows, oh_x, precision=hi)
 
     # HIGHEST precision: TPU matmuls default to bf16 inputs, which would
     # perturb refined scores by ~0.4% and flip truncated coords by 1px

@@ -104,6 +104,25 @@ def get_model(model_name: str = "vgg2016", dtype=jnp.float32) -> OpenPose:
     return builder(dtype)
 
 
+def cast_params(variables: Dict, dtype) -> Dict:
+    """Cast the ``params`` collection to ``dtype``, leaving other
+    collections (e.g. BN ``batch_stats``) in float32.
+
+    For a bf16 inference path this halves per-call weight streaming from
+    HBM and removes the per-call f32->bf16 converts flax otherwise inserts
+    (weights are used exactly once per frame at batch 1, so weight traffic
+    is pure overhead). The conv results are identical to casting at call
+    time.
+    """
+    out = dict(variables)
+    out["params"] = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        variables["params"],
+    )
+    return out
+
+
 def init_model(
     model_name: str,
     rng: Optional[jax.Array] = None,

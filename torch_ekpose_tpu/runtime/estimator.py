@@ -32,7 +32,7 @@ from torch_ekpose_tpu import constants
 from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.decode import api as decode_api
 from torch_ekpose_tpu.decode import device as decode_device
-from torch_ekpose_tpu.models import get_model, init_model
+from torch_ekpose_tpu.models import cast_params, get_model, init_model
 from torch_ekpose_tpu.ops.resize import resize_image_np
 from torch_ekpose_tpu.utils.human import Human
 
@@ -114,7 +114,7 @@ class PoseEstimator:
         decode_backend: str = "auto",
         dest_size: int = 368,
         compute_dtype=jnp.bfloat16,
-        fuse_decode: bool = False,
+        fuse_decode: bool = True,
     ):
         self.config = config or default_cfg
         self.model_name = model_name
@@ -126,11 +126,17 @@ class PoseEstimator:
             _, variables = init_model(
                 model_name, input_shape=(1, 64, 64, 3), dtype=compute_dtype
             )
+        if compute_dtype != jnp.float32:
+            # store weights in the compute dtype: halves weight streaming
+            # (the dominant HBM traffic at batch 1) and drops per-call casts
+            variables = cast_params(variables, compute_dtype)
         self.variables = variables
-        #: Compile forward+decode as ONE XLA program. Off by default: the
-        #: merged program gives only a small steady-state win over chaining
-        #: the two cached executables (results stay on device either way)
-        #: but XLA's optimization passes take minutes on it.
+        #: Compile forward+decode as ONE XLA program (default). The merged
+        #: program avoids the inter-program device copy of the paf/heatmap
+        #: buffers; since the decoder's gathers became one-hot contractions
+        #: it also compiles in seconds rather than minutes. Set False to
+        #: chain two cached executables instead (useful when many input
+        #: shapes would each pay the fused compile).
         self.fuse_decode = fuse_decode
         self._forward_cache: Dict[Tuple[int, int], any] = {}
         self._fused_cache: Dict[Tuple[int, int], any] = {}
