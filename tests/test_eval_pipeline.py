@@ -160,3 +160,32 @@ def test_batched_forward_matches_single_forward():
         pafs_1, heat_1, _ = est.get_outputs(images[i])
         np.testing.assert_allclose(pafs_b[i], pafs_1, atol=2e-4)
         np.testing.assert_allclose(heat_b[i], heat_1, atol=2e-4)
+
+
+def test_estimate_batch_matches_single_estimate():
+    """Batched fused forward+vmapped-decode returns the same people as the
+    single-image fused path."""
+    import jax.numpy as jnp
+
+    from torch_ekpose_tpu.runtime import PoseEstimator
+
+    est = PoseEstimator(
+        "vgg2016", decode_backend="jax", dest_size=64,
+        compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    humans_b = est.estimate_batch(images)
+
+    def sig(humans):
+        return sorted(
+            sorted(
+                (p, round(bp.x, 6), round(bp.y, 6), round(bp.score, 5))
+                for p, bp in h.body_parts.items()
+            )
+            for h in humans
+        )
+
+    for i in range(2):
+        humans_1, _ = est.estimate(images[i])
+        assert sig(humans_b[i]) == sig(humans_1)

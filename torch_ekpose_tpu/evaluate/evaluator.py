@@ -188,6 +188,16 @@ def _run_eval_batched(
             [b[1] for b in bucket]
             + [bucket[-1][1]] * (batch_size - len(bucket))
         )
+        if estimator.decode_backend == "jax":
+            # forward + vmapped decode as one on-device program; only
+            # fixed-shape DecodeResults come back to the host
+            humans_b = estimator.estimate_batch(stack)
+            for (img_id, _, scale), humans in zip(bucket, humans_b):
+                upsample = (
+                    stack.shape[1] / scale, stack.shape[2] / scale,
+                )
+                append_result(img_id, humans, upsample, ready)
+            return
         pafs_b, heatmaps_b = estimator.get_outputs_batch(stack)
         for (img_id, _, scale), pafs, heatmaps in zip(
             bucket, pafs_b, heatmaps_b

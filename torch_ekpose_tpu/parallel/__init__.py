@@ -5,4 +5,19 @@ from torch_ekpose_tpu.parallel.mesh import (
     shard_batch,
 )
 
-__all__ = ["data_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "ShardedPoseEstimator",
+    "data_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]
+
+
+def __getattr__(name):
+    # lazy: parallel.inference pulls in the decode stack
+    if name == "ShardedPoseEstimator":
+        from torch_ekpose_tpu.parallel.inference import ShardedPoseEstimator
+
+        return ShardedPoseEstimator
+    raise AttributeError(name)

@@ -1,0 +1,115 @@
+"""Data-parallel sharded inference over a device mesh.
+
+The reference has no multi-device inference at all (its eval loop is
+strictly batch-1 on one GPU, reference eval.py:144-156). On TPU the
+natural scale-out is a 1-D data mesh: the batch axis of a padded image
+stack is sharded across chips, parameters are replicated, and the entire
+preprocess -> CPM forward -> pose decode program runs SPMD — XLA inserts
+no cross-chip collectives for this layout, so throughput scales linearly
+over ICI domains and each chip decodes its own shard on device.
+
+Validated without hardware via an 8-virtual-device CPU mesh
+(tests/test_parallel_inference.py) — the same path runs unchanged on a
+real v5e slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_ekpose_tpu.config import Config, cfg as default_cfg
+from torch_ekpose_tpu.decode import device as decode_device
+from torch_ekpose_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+from torch_ekpose_tpu.utils.human import Human
+
+__all__ = ["ShardedPoseEstimator"]
+
+
+class ShardedPoseEstimator:
+    """Mesh-sharded batched pose inference.
+
+    ``estimate_batch(images)`` has the same contract as
+    ``PoseEstimator.estimate_batch`` ([B, H, W, 3] same-shape padded BGR
+    images -> List[List[Human]]) but shards the batch across every device
+    in the mesh. ``B`` must be a multiple of the mesh size (pad the last
+    batch by repeating a frame, as the bucketed eval loop does).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        mesh=None,
+        config: Optional[Config] = None,
+        preprocess: str = "vgg",
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.config = config or default_cfg
+        self.preprocess = preprocess
+        self._replicated = replicated(self.mesh)
+        self._data = data_sharding(self.mesh)
+        self.variables = jax.device_put(variables, self._replicated)
+        self._cache = {}
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.size
+
+    def _fused_fn(self, b: int, h: int, w: int):
+        key = (b, h, w)
+        if key not in self._cache:
+            from torch_ekpose_tpu.runtime.estimator import preprocess_jax
+
+            mode = self.preprocess
+            decoder = decode_device.build_decoder(self.config)
+            model = self.model
+            compute_dtype = jax.tree_util.tree_leaves(
+                self.variables["params"]
+            )[0].dtype
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(
+                    jax.tree.map(lambda _: self._replicated, self.variables),
+                    self._data,
+                ),
+                out_shardings=self._data,
+            )
+            def fused(variables, images):
+                x = jax.vmap(
+                    lambda im: preprocess_jax(im, mode)
+                )(images).astype(compute_dtype)
+                (paf, heatmap), _ = model.apply(variables, x, train=False)
+                return jax.vmap(decoder)(
+                    heatmap.astype(jnp.float32), paf.astype(jnp.float32)
+                )
+
+            self._cache[key] = fused
+        return self._cache[key]
+
+    def estimate_batch(self, images: np.ndarray) -> List[List[Human]]:
+        b, h, w = images.shape[:3]
+        if b % self.mesh.size:
+            raise ValueError(
+                f"batch {b} not divisible by mesh size {self.mesh.size}"
+            )
+        fused = self._fused_fn(b, h, w)
+        images = jax.device_put(jnp.asarray(images), self._data)
+        results = jax.device_get(fused(self.variables, images))
+        out = []
+        for i in range(b):
+            item = decode_device.DecodeResult(
+                *(np.asarray(field[i]) for field in results)
+            )
+            out.append(decode_device.humans_from_result(item, h, w))
+        return out

@@ -182,6 +182,25 @@ class PoseEstimator:
             self._fused_cache[key] = fused
         return self._fused_cache[key]
 
+    def _batch_fused_fn(self, b: int, h: int, w: int):
+        key = ("batch_fused", b, h, w)
+        if key not in self._fused_cache:
+            mode = self.preprocess
+            decoder = decode_device.build_decoder(self.config)
+
+            @jax.jit
+            def fused(variables, images):
+                x = jax.vmap(lambda im: preprocess_jax(im, mode))(images)
+                (paf, heatmap), _ = self.model.apply(
+                    variables, x, train=False
+                )
+                return jax.vmap(decoder)(
+                    heatmap.astype(jnp.float32), paf.astype(jnp.float32)
+                )
+
+            self._fused_cache[key] = fused
+        return self._fused_cache[key]
+
     def _batch_forward_fn(self, h: int, w: int):
         key = ("batch", h, w)
         if key not in self._forward_cache:
@@ -210,6 +229,26 @@ class PoseEstimator:
         fwd = self._batch_forward_fn(*images.shape[1:3])
         paf, heatmap = fwd(self.variables, jnp.asarray(images))
         return np.asarray(paf), np.asarray(heatmap)
+
+    def estimate_batch(
+        self, images: np.ndarray
+    ) -> List[List[Human]]:
+        """Assembled people for a batch of same-shape padded images
+        [B, H, W, 3]: batched forward + vmapped on-device decode as one
+        XLA program; only fixed-shape DecodeResults return to the host.
+        This is the high-throughput eval/video path — the reference
+        decodes strictly one image at a time on the CPU
+        (reference eval.py:144-156)."""
+        b, h, w = images.shape[:3]
+        fused = self._batch_fused_fn(b, h, w)
+        results = jax.device_get(fused(self.variables, jnp.asarray(images)))
+        out = []
+        for i in range(b):
+            item = decode_device.DecodeResult(
+                *(np.asarray(field[i]) for field in results)
+            )
+            out.append(decode_device.humans_from_result(item, h, w))
+        return out
 
     def get_outputs(
         self, image: np.ndarray
