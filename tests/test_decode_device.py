@@ -101,3 +101,33 @@ def test_decode_result_shapes(small_cfg):
     assert res.peak_score.shape == (18 * k,)
     assert res.subset.shape == (cap, 20)
     assert res.person_valid.shape == (cap,)
+
+
+def test_pack_unpack_roundtrip():
+    """pack_result -> unpack_result is lossless for single and batched
+    DecodeResults."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_ekpose_tpu.config import get_default_config
+    from torch_ekpose_tpu.decode import device as D
+
+    cfg = get_default_config()
+    k = cfg.DECODE.max_peaks_per_part
+    cap = cfg.DECODE.max_people * 3
+    rng = np.random.default_rng(3)
+    heat = rng.random((46, 54, 19)).astype(np.float32)
+    pafs = rng.normal(0, 0.3, (46, 54, 38)).astype(np.float32)
+
+    decoder = D.build_decoder(cfg)
+    res = jax.device_get(decoder(jnp.asarray(heat), jnp.asarray(pafs)))
+    packed = np.asarray(D.pack_result(decoder(jnp.asarray(heat),
+                                              jnp.asarray(pafs))))
+    rt = D.unpack_result(packed, k, cap)
+    np.testing.assert_array_equal(rt.peak_xy, res.peak_xy)
+    np.testing.assert_array_equal(rt.peak_score, res.peak_score)
+    np.testing.assert_array_equal(rt.peak_valid, res.peak_valid)
+    np.testing.assert_array_equal(rt.subset, res.subset)
+    np.testing.assert_array_equal(rt.person_valid, res.person_valid)
+    assert rt.peak_xy.dtype == np.int32
+    assert rt.peak_valid.dtype == bool

@@ -45,7 +45,10 @@ from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.ops.resize import resize_matrix
 from torch_ekpose_tpu.utils.human import BodyPart, Human
 
-__all__ = ["DecodeResult", "build_decoder", "decode_jax", "paf_to_pose_jax"]
+__all__ = [
+    "DecodeResult", "build_decoder", "decode_jax", "pack_result",
+    "paf_to_pose_jax", "unpack_result",
+]
 
 _WIN = 2            # refinement patch half-width -> 5x5 patches
 _PATCH = 2 * _WIN + 1
@@ -467,6 +470,45 @@ def decode_jax(
     )
 
 
+def pack_result(res: DecodeResult) -> jax.Array:
+    """Flatten a (possibly batched) DecodeResult into ONE float32 buffer.
+
+    Device->host transfers pay a fixed per-array latency (tens of ms over
+    a remote-TPU tunnel), so fetching the five result fields separately
+    quintuples the readback cost of every frame. All field values are
+    exactly representable in f32 (coords < 2^15, cids < 2^11, bools),
+    so one packed fetch is lossless. ``unpack_result`` restores dtypes.
+    """
+    lead = res.peak_score.shape[:-1]
+
+    def flat(x):
+        return x.reshape(*lead, -1).astype(jnp.float32)
+
+    return jnp.concatenate(
+        [flat(res.peak_xy), flat(res.peak_score), flat(res.peak_valid),
+         flat(res.subset), flat(res.person_valid)],
+        axis=-1,
+    )
+
+
+def unpack_result(
+    packed: np.ndarray, max_peaks: int, subset_cap: int
+) -> DecodeResult:
+    """Host-side inverse of ``pack_result`` for ONE image's buffer."""
+    n = 18 * max_peaks
+    parts = np.split(
+        np.asarray(packed),
+        np.cumsum([n * 2, n, n, subset_cap * 20]),
+    )
+    return DecodeResult(
+        peak_xy=parts[0].reshape(n, 2).astype(np.int32),
+        peak_score=parts[1],
+        peak_valid=parts[2].astype(bool),
+        subset=parts[3].reshape(subset_cap, 20),
+        person_valid=parts[4].astype(bool),
+    )
+
+
 def build_decoder(config: Optional[Config] = None):
     """Returns a jitted single-image decoder closed over config values."""
     config = config or default_cfg
@@ -522,7 +564,12 @@ def paf_to_pose_jax(
     """End-to-end device decode -> Humans for one image."""
     config = config or default_cfg
     decoder = build_decoder(config)
-    result = decoder(jnp.asarray(heatmaps), jnp.asarray(pafs))
+    packed = pack_result(decoder(jnp.asarray(heatmaps), jnp.asarray(pafs)))
+    result = unpack_result(
+        jax.device_get(packed),
+        config.DECODE.max_peaks_per_part,
+        config.DECODE.max_people * 3,
+    )
     stride = config.MODEL.DOWNSAMPLE
     return humans_from_result(
         result, heatmaps.shape[0] * stride, heatmaps.shape[1] * stride

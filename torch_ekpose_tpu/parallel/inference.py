@@ -65,9 +65,11 @@ class ShardedPoseEstimator:
     def num_devices(self) -> int:
         return self.mesh.size
 
-    def _fused_fn(self, b: int, h: int, w: int):
-        key = (b, h, w)
-        if key not in self._cache:
+    def _programs(self):
+        # two SPMD executables chained device-side (fusing forward+decode
+        # into one program makes XLA's optimization passes take minutes;
+        # see PoseEstimator._batch_decoder)
+        if not self._cache:
             from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
             mode = self.preprocess
@@ -85,17 +87,28 @@ class ShardedPoseEstimator:
                 ),
                 out_shardings=self._data,
             )
-            def fused(variables, images):
+            def forward(variables, images):
                 x = jax.vmap(
                     lambda im: preprocess_jax(im, mode)
                 )(images).astype(compute_dtype)
                 (paf, heatmap), _ = model.apply(variables, x, train=False)
-                return jax.vmap(decoder)(
-                    heatmap.astype(jnp.float32), paf.astype(jnp.float32)
+                return (
+                    paf.astype(jnp.float32), heatmap.astype(jnp.float32),
                 )
 
-            self._cache[key] = fused
-        return self._cache[key]
+            def _decode_packed(heatmap, paf):
+                # packed: one host fetch for the whole sharded batch
+                return decode_device.pack_result(
+                    jax.vmap(decoder)(heatmap, paf)
+                )
+
+            decode = jax.jit(
+                _decode_packed,
+                in_shardings=self._data,
+                out_shardings=self._data,
+            )
+            self._cache = {"forward": forward, "decode": decode}
+        return self._cache["forward"], self._cache["decode"]
 
     def estimate_batch(self, images: np.ndarray) -> List[List[Human]]:
         b, h, w = images.shape[:3]
@@ -103,13 +116,14 @@ class ShardedPoseEstimator:
             raise ValueError(
                 f"batch {b} not divisible by mesh size {self.mesh.size}"
             )
-        fused = self._fused_fn(b, h, w)
+        forward, decode = self._programs()
         images = jax.device_put(jnp.asarray(images), self._data)
-        results = jax.device_get(fused(self.variables, images))
+        paf, heatmap = forward(self.variables, images)
+        packed = jax.device_get(decode(heatmap, paf))
+        k = self.config.DECODE.max_peaks_per_part
+        cap = self.config.DECODE.max_people * 3
         out = []
         for i in range(b):
-            item = decode_device.DecodeResult(
-                *(np.asarray(field[i]) for field in results)
-            )
+            item = decode_device.unpack_result(packed[i], k, cap)
             out.append(decode_device.humans_from_result(item, h, w))
         return out

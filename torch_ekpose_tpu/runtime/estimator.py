@@ -141,6 +141,7 @@ class PoseEstimator:
         self._forward_cache: Dict[Tuple[int, int], any] = {}
         self._fused_cache: Dict[Tuple[int, int], any] = {}
         self._decoder = None
+        self._vmapped_decoder = None
 
     # -- compiled program builders (one per padded input shape) ----------
 
@@ -177,29 +178,36 @@ class PoseEstimator:
                 )
                 paf = paf[0].astype(jnp.float32)
                 heatmap = heatmap[0].astype(jnp.float32)
-                return decoder(heatmap, paf), paf, heatmap
+                # packed: ONE host fetch per frame instead of five
+                return decode_device.pack_result(decoder(heatmap, paf))
 
             self._fused_cache[key] = fused
         return self._fused_cache[key]
 
-    def _batch_fused_fn(self, b: int, h: int, w: int):
-        key = ("batch_fused", b, h, w)
-        if key not in self._fused_cache:
-            mode = self.preprocess
+    def _unpack(self, packed) -> decode_device.DecodeResult:
+        return decode_device.unpack_result(
+            jax.device_get(packed),
+            self.config.DECODE.max_peaks_per_part,
+            self.config.DECODE.max_people * 3,
+        )
+
+    def _batch_decoder(self):
+        # batched decode stays a SEPARATE cached executable from the
+        # batched forward: fusing them into one program sends XLA's
+        # optimization passes off a cliff (minutes vs ~8s + ~6s), while
+        # chaining costs almost nothing — the paf/heatmap buffers pass
+        # device-to-device
+        if self._vmapped_decoder is None:
             decoder = decode_device.build_decoder(self.config)
 
             @jax.jit
-            def fused(variables, images):
-                x = jax.vmap(lambda im: preprocess_jax(im, mode))(images)
-                (paf, heatmap), _ = self.model.apply(
-                    variables, x, train=False
-                )
-                return jax.vmap(decoder)(
-                    heatmap.astype(jnp.float32), paf.astype(jnp.float32)
+            def decode_packed(heatmap, paf):
+                return decode_device.pack_result(
+                    jax.vmap(decoder)(heatmap, paf)
                 )
 
-            self._fused_cache[key] = fused
-        return self._fused_cache[key]
+            self._vmapped_decoder = decode_packed
+        return self._vmapped_decoder
 
     def _batch_forward_fn(self, h: int, w: int):
         key = ("batch", h, w)
@@ -239,14 +247,29 @@ class PoseEstimator:
         This is the high-throughput eval/video path — the reference
         decodes strictly one image at a time on the CPU
         (reference eval.py:144-156)."""
+        return self.collect_batch(self.estimate_batch_async(images))
+
+    def estimate_batch_async(self, images: np.ndarray):
+        """Dispatch a batch without blocking; returns a handle for
+        ``collect_batch``. Keeping one batch in flight overlaps the next
+        batch's host->device transfer and compute with the previous
+        batch's readback and host-side drawing/encoding (the streaming
+        video path does this)."""
         b, h, w = images.shape[:3]
-        fused = self._batch_fused_fn(b, h, w)
-        results = jax.device_get(fused(self.variables, jnp.asarray(images)))
+        fwd = self._batch_forward_fn(h, w)
+        paf, heatmap = fwd(self.variables, jnp.asarray(images))
+        return self._batch_decoder()(heatmap, paf), b, h, w
+
+    def collect_batch(self, handle) -> List[List[Human]]:
+        """Block on a handle from ``estimate_batch_async`` and convert to
+        Humans."""
+        packed, b, h, w = handle
+        packed = jax.device_get(packed)  # one fetch for the whole batch
+        k = self.config.DECODE.max_peaks_per_part
+        cap = self.config.DECODE.max_people * 3
         out = []
         for i in range(b):
-            item = decode_device.DecodeResult(
-                *(np.asarray(field[i]) for field in results)
-            )
+            item = decode_device.unpack_result(packed[i], k, cap)
             out.append(decode_device.humans_from_result(item, h, w))
         return out
 
@@ -270,23 +293,27 @@ class PoseEstimator:
             im_pad, im_scale, _ = padding(
                 image, self.dest_size, self.config.MODEL.DOWNSAMPLE
             )
-            stride = self.config.MODEL.DOWNSAMPLE
             if self.fuse_decode:
                 fused = self._fused_fn(*im_pad.shape[:2])
-                result, _, heatmap = fused(
-                    self.variables, jnp.asarray(im_pad)
-                )
+                packed = fused(self.variables, jnp.asarray(im_pad))
             else:
                 # two cached executables chained on device: the
                 # paf/heatmap buffers never come back to the host
                 fwd = self._forward_fn(*im_pad.shape[:2])
                 paf, heatmap = fwd(self.variables, jnp.asarray(im_pad))
                 if self._decoder is None:
-                    self._decoder = decode_device.build_decoder(self.config)
-                result = self._decoder(heatmap, paf)
+                    decoder = decode_device.build_decoder(self.config)
+
+                    @jax.jit
+                    def decode_packed(heatmap, paf):
+                        return decode_device.pack_result(
+                            decoder(heatmap, paf)
+                        )
+
+                    self._decoder = decode_packed
+                packed = self._decoder(heatmap, paf)
             humans = decode_device.humans_from_result(
-                jax.device_get(result),
-                heatmap.shape[0] * stride, heatmap.shape[1] * stride,
+                self._unpack(packed), im_pad.shape[0], im_pad.shape[1],
             )
             return humans, im_scale
         pafs, heatmaps, im_scale = self.get_outputs(image)

@@ -243,6 +243,10 @@ def draw_humans(npimg: np.ndarray, humans: List[Human], imgcopy: bool = False):
     """
     if imgcopy:
         npimg = np.copy(npimg)
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
     image_h, image_w = npimg.shape[:2]
     scale = (image_h + image_w) / 2.0 / 1000
     point_r = max(1, int(10 * scale))
@@ -257,11 +261,19 @@ def draw_humans(npimg: np.ndarray, humans: List[Human], imgcopy: bool = False):
                 int(part.x * image_w + 0.5), int(part.y * image_h + 0.5),
             )
             centers[i] = center
-            _stamp_disk(npimg, center[0], center[1], point_r,
-                        constants.COCO_COLORS[i])
+            color = constants.COCO_COLORS[i]
+            if cv2 is not None:
+                cv2.circle(npimg, center, point_r, tuple(color), -1)
+            else:
+                _stamp_disk(npimg, center[0], center[1], point_r, color)
         for pair_order, pair in enumerate(constants.COCO_PAIRS_RENDER):
             if pair[0] not in centers or pair[1] not in centers:
                 continue
-            _stamp_line(npimg, centers[pair[0]], centers[pair[1]], line_w,
-                        constants.COCO_COLORS[pair_order])
+            color = constants.COCO_COLORS[pair_order]
+            if cv2 is not None:
+                cv2.line(npimg, centers[pair[0]], centers[pair[1]],
+                         tuple(color), line_w)
+            else:
+                _stamp_line(npimg, centers[pair[0]], centers[pair[1]],
+                            line_w, color)
     return npimg
