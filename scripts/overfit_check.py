@@ -1,6 +1,10 @@
 """Closed-loop sanity: overfit vgg2016 on one synthetic image, decode the
 model's own predictions, and require the person to be recovered."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
