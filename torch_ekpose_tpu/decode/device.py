@@ -285,6 +285,29 @@ def _merge_people(
     valid_sorted = valid_flat[order]
     pair_flat = (order // k).astype(jnp.int32)
 
+    if jax.default_backend() == "tpu":
+        # one Pallas program for the whole sequential merge: person table
+        # in VMEM, per-connection scalars in SMEM — ~an order of magnitude
+        # less per-connection overhead than the XLA while_loop below.
+        # Skipped entirely for connection-less frames.
+        from torch_ekpose_tpu.ops.pallas_merge import merge_people_pallas
+
+        def _run(args):
+            return merge_people_pallas(*args, cap=cap)
+
+        def _empty(args):
+            return (
+                jnp.full((cap, 20), -1.0, jnp.float32),
+                jnp.zeros(cap, bool),
+            )
+
+        subset, active = jax.lax.cond(
+            n_valid > 0, _run, _empty,
+            (pair_flat, pairs[pair_flat, 0], pairs[pair_flat, 1],
+             cid1_flat, cid2_flat, score_flat, n_valid, peak_score_flat),
+        )
+        return subset, active, jnp.asarray(0, jnp.int32)
+
     def body(s, carry):
         # Straight-line masked arithmetic instead of lax.switch: on TPU
         # every branch is a handful of tiny vector ops, so computing all
@@ -421,9 +444,28 @@ def decode_jax(
     limb_scores, _ = _score_all_limbs(
         pafs, xi, yi, peak_valid, stride, n_steps, thresh_paf, thresh_cnt1
     )
-    ia, ib, cscore, cvalid = jax.vmap(
-        functools.partial(_greedy_match_one, k=k)
-    )(limb_scores)
+    if jax.default_backend() == "tpu":
+        # all 19 greedy matches as one Pallas program (K lock-step rounds
+        # of [19, K]-shaped vector work in VMEM); skipped entirely when no
+        # candidate survived scoring (common for empty frames)
+        from torch_ekpose_tpu.ops.pallas_match import greedy_match_pallas
+
+        def _empty_match(scores):
+            return (
+                jnp.full((19, k), -1, jnp.int32),
+                jnp.full((19, k), -1, jnp.int32),
+                jnp.zeros((19, k), jnp.float32),
+                jnp.zeros((19, k), bool),
+            )
+
+        ia, ib, cscore, cvalid = jax.lax.cond(
+            jnp.any(limb_scores > -jnp.inf),
+            greedy_match_pallas, _empty_match, limb_scores,
+        )
+    else:
+        ia, ib, cscore, cvalid = jax.vmap(
+            functools.partial(_greedy_match_one, k=k)
+        )(limb_scores)
 
     # local peak index -> flat cid = part * K + index
     pairs = jnp.asarray(constants.COCO_PAIRS)
