@@ -263,7 +263,7 @@ def _greedy_match_one(score: jax.Array, k: int):
 
 def _merge_people(
     conn_cid1, conn_cid2, conn_score, conn_valid, peak_score_flat,
-    cap: int, k: int,
+    cap: int, k: int, use_pallas: bool = True,
 ):
     """Person grouping (reference pafprocess.cpp:127-185) over the [19, K]
     connection tables. Returns (subset [cap, 20], active [cap], n_rows).
@@ -285,7 +285,7 @@ def _merge_people(
     valid_sorted = valid_flat[order]
     pair_flat = (order // k).astype(jnp.int32)
 
-    if jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu":
         # one Pallas program for the whole sequential merge: person table
         # in VMEM, per-connection scalars in SMEM — ~an order of magnitude
         # less per-connection overhead than the XLA while_loop below.
@@ -411,6 +411,7 @@ def _merge_people(
     static_argnames=(
         "stride", "n_steps", "max_peaks", "subset_cap", "thresh_heatmap",
         "thresh_paf", "thresh_cnt1", "thresh_part_cnt", "thresh_human_score",
+        "use_pallas_loops",
     ),
 )
 def decode_jax(
@@ -426,8 +427,15 @@ def decode_jax(
     thresh_cnt1: int = constants.THRESH_VECTOR_CNT1,
     thresh_part_cnt: float = constants.THRESH_PART_CNT,
     thresh_human_score: float = constants.THRESH_HUMAN_SCORE,
+    use_pallas_loops: bool = True,
 ) -> DecodeResult:
-    """Decode one image's [H, W, 19] heatmaps + [H, W, 38] PAFs on device."""
+    """Decode one image's [H, W, 19] heatmaps + [H, W, 38] PAFs on device.
+
+    ``use_pallas_loops=False`` keeps the sequential match/merge stages as
+    XLA while_loops — required when the decoder will be vmapped (Pallas
+    SMEM operands have no batching rule); under vmap the XLA loops run
+    lock-step across the batch, so their per-iteration overhead amortizes.
+    """
     heatmaps = heatmaps.astype(jnp.float32)
     pafs = pafs.astype(jnp.float32)
     k = max_peaks
@@ -444,7 +452,7 @@ def decode_jax(
     limb_scores, _ = _score_all_limbs(
         pafs, xi, yi, peak_valid, stride, n_steps, thresh_paf, thresh_cnt1
     )
-    if jax.default_backend() == "tpu":
+    if use_pallas_loops and jax.default_backend() == "tpu":
         # all 19 greedy matches as one Pallas program (K lock-step rounds
         # of [19, K]-shaped vector work in VMEM); skipped entirely when no
         # candidate survived scoring (common for empty frames)
@@ -473,7 +481,8 @@ def decode_jax(
     cid2 = pairs[:, 1][:, None] * k + jnp.maximum(ib, 0)
 
     subset, active, _ = _merge_people(
-        cid1, cid2, cscore, cvalid, score.reshape(-1), subset_cap, k
+        cid1, cid2, cscore, cvalid, score.reshape(-1), subset_cap, k,
+        use_pallas=use_pallas_loops,
     )
     counts = subset[:, 19]
     totals = subset[:, 18]
@@ -530,11 +539,18 @@ def unpack_result(
     )
 
 
-def build_decoder(config: Optional[Config] = None):
-    """Returns a jitted single-image decoder closed over config values."""
+def build_decoder(
+    config: Optional[Config] = None, vmap_safe: bool = False
+):
+    """Returns a jitted single-image decoder closed over config values.
+
+    ``vmap_safe=True`` builds a decoder that may be wrapped in jax.vmap
+    (disables the Pallas loop kernels, which have no batching rule).
+    """
     config = config or default_cfg
     return functools.partial(
         decode_jax,
+        use_pallas_loops=not vmap_safe,
         stride=config.MODEL.DOWNSAMPLE,
         n_steps=config.TEST.NUM_INTERMED_PTS_BETWEEN_KEYPOINTS,
         max_peaks=config.DECODE.max_peaks_per_part,

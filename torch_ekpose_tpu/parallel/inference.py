@@ -73,7 +73,7 @@ class ShardedPoseEstimator:
             from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
             mode = self.preprocess
-            decoder = decode_device.build_decoder(self.config)
+            decoder = decode_device.build_decoder(self.config, vmap_safe=True)
             model = self.model
             compute_dtype = jax.tree_util.tree_leaves(
                 self.variables["params"]

@@ -198,7 +198,7 @@ class PoseEstimator:
         # chaining costs almost nothing — the paf/heatmap buffers pass
         # device-to-device
         if self._vmapped_decoder is None:
-            decoder = decode_device.build_decoder(self.config)
+            decoder = decode_device.build_decoder(self.config, vmap_safe=True)
 
             @jax.jit
             def decode_packed(heatmap, paf):
