@@ -9,16 +9,16 @@ the TPU between the conv forward pass and the final person rows.
 Fixed-capacity design (XLA needs static shapes):
 
 - top-``max_peaks`` peaks per part, score-masked;
-- 5x5 peak patches bicubic-upsampled x8 with two small matmuls against a
-  precomputed interpolation matrix (MXU work instead of cv2);
-- all-pairs PAF line integrals for all 19 limbs at once as a
-  [19, K, K, STEP] gather + reduction;
-- greedy matching as ``lax.fori_loop`` of masked argmaxes, vmapped over
-  the 19 limb pairs (equivalent to the reference's sort-then-scan for
-  distinct scores);
-- the sequential person merge as a ``lax.fori_loop`` over connection slots
-  with branch selection via ``lax.switch``, preserving the reference's row
-  ordering semantics (new rows append; merged rows deactivate in place).
+- 5x5 peak patches extracted and bicubic-upsampled x8 with exact one-hot
+  MXU contractions (no TPU gathers, no cv2);
+- all-pairs PAF line integrals for all 19 limbs at once, with the sampling
+  factorized into one-hot row/column contractions on the MXU;
+- greedy matching (reference's sort-then-scan == repeated masked argmax
+  for distinct scores) and the sequential person merge run as single
+  Pallas kernels on TPU (``ops/pallas_match.py`` / ``ops/pallas_merge.py``)
+  with XLA while_loop fallbacks used off-TPU and under vmap; both preserve
+  the reference's row ordering semantics (new rows append; merged rows
+  deactivate in place).
 
 Known, documented divergences from the host oracle (both harmless for AP):
 
