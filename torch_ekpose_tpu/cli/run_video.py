@@ -36,6 +36,9 @@ def main(argv=None) -> None:
     )
     parser.set_defaults(decode_backend="jax")
     args = parser.parse_args(argv)
+    if args.batch > 1 and args.decode_backend != "jax":
+        parser.error("--batch > 1 requires --decode-backend jax "
+                     "(the batched path decodes on device)")
 
     import cv2
 
@@ -107,19 +110,22 @@ def main(argv=None) -> None:
         threading.Thread(target=padder, daemon=True).start()
 
         done: "queue.Queue" = queue.Queue(maxsize=8)
-        write_err = []
+        errors = []
 
         def writer_loop():
+            # on error: record it but keep draining so the sentinel flows
+            # and upstream puts never deadlock on the bounded queue
             while True:
                 item = done.get()
                 if item is None:
                     return
+                if errors:
+                    continue
                 try:
                     for frame, humans in zip(*item):
                         write_frame(frame, humans)
                 except Exception as e:  # surface encode errors
-                    write_err.append(e)
-                    return
+                    errors.append(e)
 
         writer_thread = threading.Thread(target=writer_loop, daemon=True)
         writer_thread.start()
@@ -135,8 +141,13 @@ def main(argv=None) -> None:
                 if item is None:
                     done.put(None)
                     return
+                if errors:
+                    continue
                 batch_frames, handle = item
-                done.put((batch_frames, estimator.collect_batch(handle)))
+                try:
+                    done.put((batch_frames, estimator.collect_batch(handle)))
+                except Exception as e:  # device errors must not hang joins
+                    errors.append(e)
 
         collector_thread = threading.Thread(
             target=collector_loop, daemon=True
@@ -153,20 +164,20 @@ def main(argv=None) -> None:
             pending.clear()
             inflight.put((batch_frames, handle))
 
-        while True:
+        while not errors:
             item = padded.get()
             if item is None:
                 break
             pending.append(item)
             if len(pending) == args.batch:
                 dispatch()
-        if pending:
+        if pending and not errors:
             dispatch()
         inflight.put(None)
         collector_thread.join()
         writer_thread.join()
-        if write_err:
-            raise write_err[0]
+        if errors:
+            raise errors[0]
     else:
         while True:
             frame = frames.get()

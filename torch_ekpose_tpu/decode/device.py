@@ -46,8 +46,8 @@ from torch_ekpose_tpu.ops.resize import resize_matrix
 from torch_ekpose_tpu.utils.human import BodyPart, Human
 
 __all__ = [
-    "DecodeResult", "build_decoder", "decode_jax", "pack_result",
-    "paf_to_pose_jax", "unpack_result",
+    "DecodeResult", "build_decoder", "build_packed_decoder", "decode_jax",
+    "pack_result", "packed_to_humans", "paf_to_pose_jax", "unpack_result",
 ]
 
 _WIN = 2            # refinement patch half-width -> 5x5 patches
@@ -561,6 +561,39 @@ def build_decoder(
         thresh_part_cnt=float(config.TEST.THRESH_PART_CNT),
         thresh_human_score=config.TEST.THRESH_HUMAN_SCORE,
     )
+
+
+def build_packed_decoder(
+    config: Optional[Config] = None, batched: bool = False
+):
+    """Jitted decoder whose output is the packed single-fetch buffer.
+
+    ``batched=True`` returns a vmapped (vmap-safe) decoder for [B, ...]
+    heatmap/PAF stacks. This is the one place the estimator, the sharded
+    estimator, and the server-side batch path all build their decode
+    programs from, so the packed layout stays consistent.
+    """
+    config = config or default_cfg
+    decoder = build_decoder(config, vmap_safe=batched)
+    if batched:
+        return jax.jit(
+            lambda heatmap, paf: pack_result(jax.vmap(decoder)(heatmap, paf))
+        )
+    return jax.jit(lambda heatmap, paf: pack_result(decoder(heatmap, paf)))
+
+
+def packed_to_humans(
+    packed_row: np.ndarray, up_h: int, up_w: int,
+    config: Optional[Config] = None,
+) -> List[Human]:
+    """One image's packed buffer (already on host) -> Humans."""
+    config = config or default_cfg
+    result = unpack_result(
+        packed_row,
+        config.DECODE.max_peaks_per_part,
+        config.DECODE.max_people * 3,
+    )
+    return humans_from_result(result, up_h, up_w)
 
 
 def humans_from_result(

@@ -73,7 +73,6 @@ class ShardedPoseEstimator:
             from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
             mode = self.preprocess
-            decoder = decode_device.build_decoder(self.config, vmap_safe=True)
             model = self.model
             compute_dtype = jax.tree_util.tree_leaves(
                 self.variables["params"]
@@ -96,14 +95,10 @@ class ShardedPoseEstimator:
                     paf.astype(jnp.float32), heatmap.astype(jnp.float32),
                 )
 
-            def _decode_packed(heatmap, paf):
-                # packed: one host fetch for the whole sharded batch
-                return decode_device.pack_result(
-                    jax.vmap(decoder)(heatmap, paf)
-                )
-
+            # the shared packed batch decoder, re-jitted with shardings so
+            # each chip decodes its own shard and the host fetches once
             decode = jax.jit(
-                _decode_packed,
+                decode_device.build_packed_decoder(self.config, batched=True),
                 in_shardings=self._data,
                 out_shardings=self._data,
             )
@@ -120,10 +115,7 @@ class ShardedPoseEstimator:
         images = jax.device_put(jnp.asarray(images), self._data)
         paf, heatmap = forward(self.variables, images)
         packed = jax.device_get(decode(heatmap, paf))
-        k = self.config.DECODE.max_peaks_per_part
-        cap = self.config.DECODE.max_people * 3
-        out = []
-        for i in range(b):
-            item = decode_device.unpack_result(packed[i], k, cap)
-            out.append(decode_device.humans_from_result(item, h, w))
-        return out
+        return [
+            decode_device.packed_to_humans(packed[i], h, w, self.config)
+            for i in range(b)
+        ]

@@ -184,13 +184,6 @@ class PoseEstimator:
             self._fused_cache[key] = fused
         return self._fused_cache[key]
 
-    def _unpack(self, packed) -> decode_device.DecodeResult:
-        return decode_device.unpack_result(
-            jax.device_get(packed),
-            self.config.DECODE.max_peaks_per_part,
-            self.config.DECODE.max_people * 3,
-        )
-
     def _batch_decoder(self):
         # batched decode stays a SEPARATE cached executable from the
         # batched forward: fusing them into one program sends XLA's
@@ -198,15 +191,9 @@ class PoseEstimator:
         # chaining costs almost nothing — the paf/heatmap buffers pass
         # device-to-device
         if self._vmapped_decoder is None:
-            decoder = decode_device.build_decoder(self.config, vmap_safe=True)
-
-            @jax.jit
-            def decode_packed(heatmap, paf):
-                return decode_device.pack_result(
-                    jax.vmap(decoder)(heatmap, paf)
-                )
-
-            self._vmapped_decoder = decode_packed
+            self._vmapped_decoder = decode_device.build_packed_decoder(
+                self.config, batched=True
+            )
         return self._vmapped_decoder
 
     def _batch_forward_fn(self, h: int, w: int):
@@ -265,13 +252,10 @@ class PoseEstimator:
         Humans."""
         packed, b, h, w = handle
         packed = jax.device_get(packed)  # one fetch for the whole batch
-        k = self.config.DECODE.max_peaks_per_part
-        cap = self.config.DECODE.max_people * 3
-        out = []
-        for i in range(b):
-            item = decode_device.unpack_result(packed[i], k, cap)
-            out.append(decode_device.humans_from_result(item, h, w))
-        return out
+        return [
+            decode_device.packed_to_humans(packed[i], h, w, self.config)
+            for i in range(b)
+        ]
 
     def get_outputs(
         self, image: np.ndarray
@@ -302,18 +286,13 @@ class PoseEstimator:
                 fwd = self._forward_fn(*im_pad.shape[:2])
                 paf, heatmap = fwd(self.variables, jnp.asarray(im_pad))
                 if self._decoder is None:
-                    decoder = decode_device.build_decoder(self.config)
-
-                    @jax.jit
-                    def decode_packed(heatmap, paf):
-                        return decode_device.pack_result(
-                            decoder(heatmap, paf)
-                        )
-
-                    self._decoder = decode_packed
+                    self._decoder = decode_device.build_packed_decoder(
+                        self.config
+                    )
                 packed = self._decoder(heatmap, paf)
-            humans = decode_device.humans_from_result(
-                self._unpack(packed), im_pad.shape[0], im_pad.shape[1],
+            humans = decode_device.packed_to_humans(
+                jax.device_get(packed), im_pad.shape[0], im_pad.shape[1],
+                self.config,
             )
             return humans, im_scale
         pafs, heatmaps, im_scale = self.get_outputs(image)

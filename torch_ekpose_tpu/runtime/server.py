@@ -36,18 +36,35 @@ from torch_ekpose_tpu.utils.human import Human
 __all__ = ["PoseServer", "humans_to_json"]
 
 
-def humans_to_json(humans: List[Human]) -> List[dict]:
+def humans_to_json(
+    humans: List[Human],
+    scale: Optional[float] = None,
+    padded_shape=None,
+) -> List[dict]:
+    """x/y are normalized to the padded frame (the reference's BodyPart
+    convention). When ``scale``/``padded_shape`` are given, each part also
+    carries x_px/y_px — pixel coordinates in the CLIENT's original image
+    (x_norm * padded_W / scale, the append_result mapping,
+    reference eval.py:110-111), which is what most callers want."""
     out = []
     for h in humans:
         parts = {}
         for idx, bp in h.body_parts.items():
-            parts[str(idx)] = {
+            entry = {
                 "x": round(float(bp.x), 6),
                 "y": round(float(bp.y), 6),
                 "score": round(float(bp.score), 5),
                 "part_name": constants.KEYPOINTS[idx]
                 if idx < len(constants.KEYPOINTS) else str(idx),
             }
+            if scale is not None and padded_shape is not None:
+                entry["x_px"] = round(
+                    float(bp.x) * padded_shape[1] / scale, 2
+                )
+                entry["y_px"] = round(
+                    float(bp.y) * padded_shape[0] / scale, 2
+                )
+            parts[str(idx)] = entry
         out.append({"score": round(float(h.score), 5), "parts": parts})
     return out
 
@@ -106,11 +123,15 @@ class PoseServer:
     # -- device worker ----------------------------------------------------
 
     def _worker(self):
+        carry: Optional[_Request] = None
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             batch = [first]
             deadline = time.monotonic() + self.max_wait_ms / 1e3
             while len(batch) < self.max_batch:
@@ -121,12 +142,26 @@ class PoseServer:
                     nxt = self._queue.get(timeout=timeout)
                 except queue.Empty:
                     break
-                # only same-shape frames can share a program launch
+                # only same-shape frames can share a program launch; a
+                # mismatched request seeds the NEXT batch (running it
+                # inline would block the accumulated batch behind a
+                # potentially multi-second cold-shape compile)
                 if nxt.im_pad.shape == first.im_pad.shape:
                     batch.append(nxt)
                 else:
-                    self._run_batch([nxt])
+                    carry = nxt
+                    break
             self._run_batch(batch)
+        # fail fast anything still pending at shutdown
+        leftovers = [carry] if carry is not None else []
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in leftovers:
+            req.error = RuntimeError("server shutting down")
+            req.event.set()
 
     def _run_batch(self, batch: List[_Request]):
         try:
@@ -146,17 +181,16 @@ class PoseServer:
 
     # -- request handling --------------------------------------------------
 
-    def submit(
-        self, image: np.ndarray, timeout: float = 300.0
-    ) -> List[Human]:
+    def submit(self, image: np.ndarray, timeout: float = 300.0):
         """Pad + enqueue one BGR image; blocks until its batch returns.
+        Returns (humans, scale, padded_shape).
 
         The first request at a new (batch, shape) pays the XLA compile
         (tens of seconds); subsequent requests reuse the executable, so
         the timeout is sized for the cold path."""
         from torch_ekpose_tpu.runtime.estimator import padding
 
-        im_pad, _, _ = padding(
+        im_pad, scale, _ = padding(
             image, self.estimator.dest_size,
             self.estimator.config.MODEL.DOWNSAMPLE,
         )
@@ -166,7 +200,7 @@ class PoseServer:
             raise TimeoutError("pose request timed out")
         if req.error is not None:
             raise req.error
-        return req.humans
+        return req.humans, scale, im_pad.shape[:2]
 
     def _make_handler(self):
         server = self
@@ -199,22 +233,33 @@ class PoseServer:
                 if self.path != "/pose":
                     self._reply(404, {"error": "not found"})
                     return
-                try:
+                try:  # malformed input -> 400
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
                     image = _decode_image(
                         body, self.headers.get("Content-Type", "")
                     )
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                try:  # device/server faults -> 500 (retryable)
                     t0 = time.perf_counter()
-                    humans = server.submit(image)
+                    humans, scale, padded = server.submit(image)
                     self._reply(200, {
-                        "humans": humans_to_json(humans),
+                        "humans": humans_to_json(
+                            humans, scale, padded
+                        ),
+                        "image_size": [
+                            int(image.shape[0]), int(image.shape[1])
+                        ],
+                        "padded_size": [int(padded[0]), int(padded[1])],
+                        "scale": round(float(scale), 6),
                         "latency_ms": round(
                             (time.perf_counter() - t0) * 1e3, 2
                         ),
                     })
                 except Exception as e:
-                    self._reply(400, {"error": str(e)})
+                    self._reply(500, {"error": str(e)})
 
         return Handler
 
