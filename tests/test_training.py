@@ -178,3 +178,43 @@ def test_trainer_fit_and_resume(tmp_path, small_model):
     p2 = jax.tree.leaves(jax.tree.map(np.asarray, trainer2.state.params))
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_grad_accum_matches_full_batch(small_model):
+    """grad_accum=2 over batch 4 produces (numerically) the same update
+    as one full-batch step — the reference's big-batch recipe on fewer
+    chips."""
+    model, variables = small_model
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(0, 1, (4, S, S, 3)).astype(np.float32))
+    heat = jnp.asarray(rng.random((4, 8, 8, 19)).astype(np.float32))
+    pafs = jnp.asarray(rng.normal(0, 0.2, (4, 8, 8, 38)).astype(np.float32))
+
+    def run(accum):
+        # SGD: the update is linear in the gradient, so the comparison
+        # tests the accumulation math itself (Adam's rsqrt amplifies
+        # last-bit gradient differences on near-zero second moments)
+        import optax
+
+        tx = optax.sgd(1e-4)
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, targets="host", grad_accum=accum)
+        new_state, logs = step(state, images, heat, pafs)
+        return new_state, logs
+
+    s1, logs1 = run(1)
+    s2, logs2 = run(2)
+    np.testing.assert_allclose(
+        float(logs1["Loss"]), float(logs2["Loss"]), rtol=2e-5
+    )
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+    # the 12 per-stage sums cover the whole batch either way
+    for name in loss_series_names():
+        np.testing.assert_allclose(
+            float(logs1[name]), float(logs2[name]), rtol=2e-4
+        )

@@ -36,6 +36,9 @@ def main(argv=None) -> None:
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--n-images", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=0)
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="micro-batches per optimizer step (fits the "
+                        "reference's batch-128 recipe on few chips)")
     parser.add_argument("--targets", type=str, default="device",
                         choices=["device", "host"])
     parser.add_argument("--pretrained_path", type=str, default=None,
@@ -99,6 +102,7 @@ def main(argv=None) -> None:
             args.model, config=cfg, variables=variables,
             out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
             num_devices=args.num_devices, freeze_backbone=True,
+            grad_accum=args.grad_accum,
         )
         warmup.fit(
             train_loader, val_loader, epochs=args.warmup_epochs,
@@ -111,7 +115,7 @@ def main(argv=None) -> None:
     trainer = Trainer(
         args.model, config=cfg, variables=variables,
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
-        num_devices=args.num_devices,
+        num_devices=args.num_devices, grad_accum=args.grad_accum,
     )
     if args.pretrained_path and args.pretrained_path.endswith(".ckpt"):
         trainer.restore(args.pretrained_path)

@@ -123,43 +123,89 @@ def make_train_step(
     grid: Optional[Tuple[int, int]] = None,
     stride: int = constants.DOWNSAMPLE,
     sigma: float = constants.TARGET_SIGMA,
+    grad_accum: int = 1,
 ):
     """Build the jitted train step.
 
     ``targets="host"``: step(state, images, heatmaps, pafs).
     ``targets="device"``: step(state, images, keypoints) — targets are
     rasterized on device; ``grid`` must be the static (gy, gx).
+    ``grad_accum=N``: the batch is split into N micro-batches processed
+    by a ``lax.scan`` with gradients averaged before ONE optimizer update
+    — how the reference's batch-128 recipe (train.py:106, 4 GPUs) fits a
+    small chip count; loss/gradient math is identical because the
+    reference's loss is a per-sample mean (train.py:311-339).
     """
     if targets == "device" and grid is None:
         raise ValueError("targets='device' requires grid=(gy, gx)")
 
-    def compute(state, images, heat_t, paf_t):
-        def loss_fn(params):
-            variables = {"params": params}
-            mutable = []
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            if mutable:
-                ((_, saved), updated) = model.apply(
-                    variables, images, train=True, mutable=mutable
-                )
-                new_stats = updated["batch_stats"]
-            else:
-                (_, saved) = model.apply(variables, images, train=True)
-                new_stats = state.batch_stats
-            total, logs = cpm_loss(saved, heat_t, paf_t)
-            return total, (logs, new_stats)
+    def loss_fn(params, batch_stats, images, heat_t, paf_t):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        if mutable:
+            ((_, saved), updated) = model.apply(
+                variables, images, train=True, mutable=mutable
+            )
+            new_stats = updated["batch_stats"]
+        else:
+            (_, saved) = model.apply(variables, images, train=True)
+            new_stats = batch_stats
+        total, logs = cpm_loss(saved, heat_t, paf_t)
+        return total, (logs, new_stats)
 
+    def compute(state, images, heat_t, paf_t):
         (loss, (logs, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(state.params, state.batch_stats, images, heat_t, paf_t)
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
         logs["Loss"] = loss
         return new_state, logs
 
+    def compute_accum(state, images, heat_t, paf_t):
+        n = grad_accum
+
+        def split(x):
+            return x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+        def body(carry, mb):
+            stats, grad_sum, loss_sum = carry
+            mb_im, mb_ht, mb_paf = mb
+            (loss, (logs, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, stats, mb_im, mb_ht, mb_paf)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            return (new_stats, grad_sum, loss_sum + loss), logs
+
+        init = (
+            state.batch_stats,
+            jax.tree.map(jnp.zeros_like, state.params),
+            jnp.asarray(0.0, jnp.float32),
+        )
+        (new_stats, grad_sum, loss_sum), logs_stack = jax.lax.scan(
+            body, init, (split(images), split(heat_t), split(paf_t))
+        )
+        grads = jax.tree.map(lambda g: g / n, grad_sum)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        # reduce the stacked per-micro-batch series like the reference's
+        # per-iteration logs would: sums add, extrema take max/min
+        logs = {}
+        for key, vals in logs_stack.items():
+            if key.startswith("max"):
+                logs[key] = jnp.max(vals)
+            elif key.startswith("min"):
+                logs[key] = jnp.min(vals)
+            else:
+                logs[key] = jnp.sum(vals)
+        logs["Loss"] = loss_sum / n
+        return new_state, logs
+
     @jax.jit
     def step(state, images, heatmaps, pafs):
+        if grad_accum > 1:
+            return compute_accum(state, images, heatmaps, pafs)
         return compute(state, images, heatmaps, pafs)
 
     if targets == "host":

@@ -48,6 +48,7 @@ class Trainer:
         num_devices: int = 0,
         freeze_backbone: bool = False,
         compute_dtype=None,
+        grad_accum: int = 1,
     ):
         self.config = config or default_cfg
         tc = self.config.TRAIN
@@ -74,7 +75,7 @@ class Trainer:
 
         grid = (tc.square_size // 8, tc.square_size // 8)
         self.train_step = make_train_step(
-            self.model, targets=targets, grid=grid
+            self.model, targets=targets, grid=grid, grad_accum=grad_accum
         )
         self.eval_step = make_eval_step(
             self.model, targets=targets, grid=grid
