@@ -189,3 +189,30 @@ def test_estimate_batch_matches_single_estimate():
     for i in range(2):
         humans_1, _ = est.estimate(images[i])
         assert sig(humans_b[i]) == sig(humans_1)
+
+
+def test_eval_pipeline_jax_backend_batched(tmp_path):
+    """The batched eval path through the DEVICE decoder (decode_backend
+    'jax' -> estimate_batch) scores near-perfect AP on ground-truth maps."""
+    pytest.importorskip("PIL")
+    img_dir, anno, gt18 = _build_dataset(tmp_path, n_images=4)
+
+    class JaxFake(FakeEstimator):
+        def __init__(self, gt18):
+            super().__init__(gt18)
+            self.decode_backend = "jax"
+
+        def estimate_batch(self, images):
+            from torch_ekpose_tpu.decode.device import paf_to_pose_jax
+
+            pafs_b, heat_b = self.get_outputs_batch(images)
+            return [
+                paf_to_pose_jax(heat, pafs, self.config)
+                for heat, pafs in zip(heat_b, pafs_b)
+            ]
+
+    est = JaxFake(gt18)
+    ap = run_eval(
+        img_dir, anno, est, mode="val", progress=False, batch_size=2
+    )
+    assert ap > 0.75, f"AP {ap}"
