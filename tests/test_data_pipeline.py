@@ -204,3 +204,57 @@ def test_batch_loader_orders_and_stacks(tiny_coco):
     loader2 = BatchLoader(ds, batch_size=2, num_workers=1, seed=1)
     batches2 = list(loader2)
     np.testing.assert_array_equal(batches[0][0], batches2[0][0])
+
+
+def test_loader_surfaces_worker_errors():
+    """A raising dataset must fail the consumer, not hang it."""
+    from torch_ekpose_tpu.data.dataset import BatchLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("truncated image")
+            return (np.zeros((4, 4, 3), np.float32),)
+
+    loader = BatchLoader(Bad(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="loader worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_random_rotate_image_keypoint_alignment():
+    """A bright marker drawn at a keypoint must still be under the
+    keypoint after rotation (a direction mismatch once put them ~60px
+    apart at 30 degrees)."""
+    import PIL.Image
+
+    img = np.zeros((200, 300, 3), np.uint8)
+    kx, ky = 220, 60
+    img[ky - 3:ky + 4, kx - 3:kx + 4] = 255
+    anns = [{
+        "keypoints": np.array([[kx, ky, 2.0]]),
+        "bbox": np.array([0, 0, 10, 10.0]),
+        "valid_area": np.array([0, 0, 300, 200.0]), "iscrowd": 0,
+    }]
+    meta = {
+        "valid_area": np.array([0, 0, 300, 200.0]),
+        "offset": np.zeros(2), "scale": np.ones(2),
+        "rotation": {"angle": 0.0, "width": 300, "height": 200},
+        "hflip": False, "width_height": np.array([300, 200]),
+    }
+
+    class FixedRng:
+        def random(self):
+            return 0.875  # -> +30 degrees at max_rotate_degree=40
+
+    out_img, out_anns, _ = T.RandomRotate(40.0)(
+        PIL.Image.fromarray(img), anns, meta, rng=FixedRng()
+    )
+    arr = np.asarray(out_img)
+    bright = np.argwhere(arr[:, :, 0] > 200)
+    cy, cx = bright.mean(axis=0)
+    kx2, ky2 = out_anns[0]["keypoints"][0, :2]
+    assert np.hypot(cx - kx2, cy - ky2) < 3.0

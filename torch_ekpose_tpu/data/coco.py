@@ -53,9 +53,10 @@ class COCO:
     def getImgIds(self, catIds: Sequence[int] = ()) -> List[int]:
         if not catIds:
             return sorted(self.imgs)
+        cat_set = set(catIds)
         ids = set()
         for a in self.anns.values():
-            if a["category_id"] in set(catIds):
+            if a["category_id"] in cat_set:
                 ids.add(a["image_id"])
         return sorted(ids)
 

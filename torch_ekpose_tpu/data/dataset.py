@@ -129,6 +129,12 @@ class CocoKeypoints:
 
         kpts = self._keypoints18(anns)
         if self.target_mode == "device":
+            # keep only people with at least one labeled joint before
+            # truncating to capacity — otherwise crowd images can fill
+            # every padded slot with empty rows and silently drop the
+            # labeled people that host mode would rasterize
+            if len(kpts):
+                kpts = kpts[(kpts[:, :, 2] > 0).any(axis=1)]
             padded = np.zeros((self.max_people, 18, 3), dtype=np.float32)
             n = min(len(kpts), self.max_people)
             padded[:n] = kpts[:n]
@@ -262,11 +268,19 @@ class BatchLoader:
                     bi, idxs = todo.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.dataset[int(i)] for i in idxs]
-                stacked = tuple(
-                    np.stack([it[f] for it in items])
-                    for f in range(len(items[0]))
-                )
+                try:
+                    items = [self.dataset[int(i)] for i in idxs]
+                    stacked = tuple(
+                        np.stack([it[f] for it in items])
+                        for f in range(len(items[0]))
+                    )
+                except Exception as e:  # noqa: BLE001
+                    # a corrupt sample must fail the consumer, not
+                    # silently hang it on done.get() forever
+                    with lock:
+                        results[bi] = e
+                    done.put(bi)
+                    continue
                 with lock:
                     results[bi] = stacked
                 done.put(bi)
@@ -287,5 +301,9 @@ class BatchLoader:
             while next_bi in received:
                 with lock:
                     out = results.pop(next_bi)
+                if isinstance(out, Exception):
+                    raise RuntimeError(
+                        f"loader worker failed on batch {next_bi}"
+                    ) from out
                 yield out
                 next_bi += 1

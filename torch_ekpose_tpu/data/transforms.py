@@ -374,8 +374,12 @@ class RandomRotate(Preprocess):
             [-msin, mcos, msin * cx + (1 - mcos) * cy + (nh / 2 - cy)],
         ])
 
+        # PIL.rotate(theta) turns the image content the same visual way as
+        # the cv2-style keypoint matrix above (the reference applies ONE
+        # warpAffine matrix to both, reference transforms.py:470-487, so
+        # image and annotations stay aligned by construction)
         image = image.rotate(
-            -degree, resample=PIL.Image.BICUBIC, expand=True,
+            degree, resample=PIL.Image.BICUBIC, expand=True,
             fillcolor=(128, 128, 128),
         ).resize((nw, nh))
 

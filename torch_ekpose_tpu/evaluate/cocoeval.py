@@ -168,7 +168,10 @@ class COCOKeypointEval:
         }
 
     def evaluate(self) -> None:
-        img_ids = self.params_img_ids or self.cocoGt.getImgIds()
+        img_ids = (
+            self.params_img_ids if self.params_img_ids is not None
+            else self.cocoGt.getImgIds()
+        )
         self._eval_imgs = {k: [] for k in self.area_rngs}
         for img_id in img_ids:
             gts, dts = self._gather(img_id)

@@ -157,7 +157,7 @@ def run_eval(
 
     _run_eval_batched(
         image_dir, coco, img_ids, estimator, iterator, stride, batch_size,
-        outputs,
+        outputs, vis_dir=vis_dir, save_every=save_every,
     )
     return eval_coco(outputs, anno_file, img_ids, results_json)
 
@@ -173,13 +173,22 @@ def _decode(estimator, heatmaps, pafs) -> List[Human]:
 
 def _run_eval_batched(
     image_dir, coco, img_ids, estimator, iterator, stride, batch_size,
-    outputs,
+    outputs, vis_dir=None, save_every=0,
 ) -> None:
     """Shape-bucketed batched evaluation."""
     from torch_ekpose_tpu.runtime.estimator import padding
 
-    buckets = {}  # padded (h, w) -> list of (img_id, padded, scale)
+    # padded (h, w) -> list of (img_id, padded, scale, seq, image|None)
+    buckets = {}
     ready = []
+
+    def visualize(seq, img_id, image, humans):
+        if image is None:
+            return
+        info = coco.loadImgs(img_id)[0]
+        os.makedirs(vis_dir, exist_ok=True)
+        out = draw_humans(image, humans)
+        _write_image(os.path.join(vis_dir, info["file_name"]), out)
 
     def flush(bucket):
         # pad remainder buckets to the full batch size so each padded
@@ -192,14 +201,17 @@ def _run_eval_batched(
             # forward + vmapped decode as one on-device program; only
             # fixed-shape DecodeResults come back to the host
             humans_b = estimator.estimate_batch(stack)
-            for (img_id, _, scale), humans in zip(bucket, humans_b):
+            for (img_id, _, scale, seq, image), humans in zip(
+                bucket, humans_b
+            ):
                 upsample = (
                     stack.shape[1] / scale, stack.shape[2] / scale,
                 )
                 append_result(img_id, humans, upsample, ready)
+                visualize(seq, img_id, image, humans)
             return
         pafs_b, heatmaps_b = estimator.get_outputs_batch(stack)
-        for (img_id, _, scale), pafs, heatmaps in zip(
+        for (img_id, _, scale, seq, image), pafs, heatmaps in zip(
             bucket, pafs_b, heatmaps_b
         ):
             humans = _decode(estimator, heatmaps, pafs)
@@ -208,15 +220,22 @@ def _run_eval_batched(
                 heatmaps.shape[1] * stride / scale,
             )
             append_result(img_id, humans, upsample, ready)
+            visualize(seq, img_id, image, humans)
 
-    for img_id in iterator:
+    for seq, img_id in enumerate(iterator):
         info = coco.loadImgs(img_id)[0]
         image = read_image_bgr(os.path.join(image_dir, info["file_name"]))
         im_pad, scale, _ = padding(
             image, estimator.dest_size, stride
         )
         key = im_pad.shape[:2]
-        buckets.setdefault(key, []).append((img_id, im_pad, scale))
+        keep = (
+            image if vis_dir and save_every and seq % save_every == 0
+            else None
+        )
+        buckets.setdefault(key, []).append(
+            (img_id, im_pad, scale, seq, keep)
+        )
         if len(buckets[key]) >= batch_size:
             flush(buckets.pop(key))
     for bucket in buckets.values():
