@@ -46,19 +46,40 @@ def synth_scene(rng, n_people):
     ht[:, :, 18] = np.clip(1 - ht[:, :, :18].max(-1), 0, 1)
     return ht, paf
 
+def canon(humans):
+    return sorted(
+        sorted((p, round(bp.x, 4), round(bp.y, 4))
+               for p, bp in h.body_parts.items())
+        for h in humans
+    )
+
 dec = D.build_decoder(cfg)
+scenes = [synth_scene(rng, int(rng.integers(1, 5))) for _ in range(8)]
 bad = 0
-for trial in range(8):
-    ht, paf = synth_scene(rng, int(rng.integers(1, 5)))
+for trial, (ht, paf) in enumerate(scenes):
     res = jax.device_get(dec(jnp.asarray(ht), jnp.asarray(paf)))
     dev_humans = D.humans_from_result(res, H*8, W*8)
     orc_humans = oracle.paf_to_pose_numpy(ht, paf, cfg)
-    dh = sorted([sorted([(p, round(bp.x,4), round(bp.y,4)) for p, bp in h.body_parts.items()]) for h in dev_humans])
-    oh = sorted([sorted([(p, round(bp.x,4), round(bp.y,4)) for p, bp in h.body_parts.items()]) for h in orc_humans])
-    ok = dh == oh
+    ok = canon(dev_humans) == canon(orc_humans)
     if not ok:
         bad += 1
         print(f"trial {trial}: MISMATCH dev={len(dev_humans)} orc={len(orc_humans)}")
     else:
         print(f"trial {trial}: ok ({len(dev_humans)} people)")
+
+# the batched decoder (grid-batched Pallas match/merge on TPU) must agree
+# with the single-image Pallas path on the same scenes
+bdec = D.build_packed_decoder(cfg, batched=True)
+hts = jnp.asarray(np.stack([s[0] for s in scenes]))
+pafs = jnp.asarray(np.stack([s[1] for s in scenes]))
+packed = jax.device_get(bdec(hts, pafs))
+for trial, (ht, paf) in enumerate(scenes):
+    bat_humans = D.packed_to_humans(packed[trial], H*8, W*8, cfg)
+    orc_humans = oracle.paf_to_pose_numpy(ht, paf, cfg)
+    ok = canon(bat_humans) == canon(orc_humans)
+    if not ok:
+        bad += 1
+        print(f"batched trial {trial}: MISMATCH bat={len(bat_humans)} orc={len(orc_humans)}")
+    else:
+        print(f"batched trial {trial}: ok ({len(bat_humans)} people)")
 print("PARITY OK" if bad == 0 else f"{bad} mismatches")

@@ -131,3 +131,51 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(rt.person_valid, res.person_valid)
     assert rt.peak_xy.dtype == np.int32
     assert rt.peak_valid.dtype == bool
+
+
+def test_decode_jax_batched_matches_single(small_cfg):
+    """decode_jax_batched (XLA-fallback path on CPU) == per-image
+    decode_jax on every DecodeResult field."""
+    import functools
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    scenes = [_random_scene(rng, int(rng.integers(0, 4))) for _ in range(4)]
+    heat = jnp.asarray(np.stack([s[0] for s in scenes]))
+    pafs = jnp.asarray(np.stack([s[1] for s in scenes]))
+
+    kwargs = dict(
+        max_peaks=small_cfg.DECODE.max_peaks_per_part,
+        subset_cap=small_cfg.DECODE.max_people * 3,
+    )
+    batched = device.decode_jax_batched(heat, pafs, **kwargs)
+    for i in range(heat.shape[0]):
+        single = device.decode_jax(heat[i], pafs[i], **kwargs)
+        for field, got, want in zip(
+            batched._fields, batched, single
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), np.asarray(want), err_msg=field
+            )
+
+
+def test_packed_batched_decoder_matches_humans(small_cfg):
+    """build_packed_decoder(batched=True) -> packed_to_humans equals the
+    single-image fused path for every image in the batch."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    scenes = [_random_scene(rng, 2) for _ in range(3)]
+    heat = jnp.asarray(np.stack([s[0] for s in scenes]))
+    pafs = jnp.asarray(np.stack([s[1] for s in scenes]))
+
+    packed = jax.device_get(
+        device.build_packed_decoder(small_cfg, batched=True)(heat, pafs)
+    )
+    up_h, up_w = GY * STRIDE, GX * STRIDE
+    for i in range(3):
+        got = device.packed_to_humans(packed[i], up_h, up_w, small_cfg)
+        want = device.paf_to_pose_jax(scenes[i][0], scenes[i][1], small_cfg)
+        _assert_same_humans(got, want)

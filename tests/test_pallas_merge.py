@@ -64,3 +64,56 @@ def test_pallas_merge_matches_xla(seed):
     np.testing.assert_allclose(
         np.asarray(subset_p), np.asarray(subset_x), rtol=0, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_pallas_merge_batched_matches_xla(seed):
+    """The grid-batched merge kernel (interpret mode) == the per-image
+    XLA while_loop fallback, including an empty image in the batch."""
+    from torch_ekpose_tpu.ops.pallas_merge import merge_people_pallas_batched
+
+    rng = np.random.default_rng(seed)
+    B = 3
+    pairs = jnp.asarray(constants.COCO_PAIRS)
+    batch = []
+    for bi in range(B):
+        cid1, cid2, score, valid = _random_tables(rng)
+        if bi == B - 1:
+            valid[:] = False
+        batch.append((cid1, cid2, score, valid))
+    peak_score = rng.uniform(0.1, 1.0, (B, 18 * K)).astype(np.float32)
+
+    prep = [
+        jax.device_get(
+            D._merge_prep(
+                jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(s),
+                jnp.asarray(v), K,
+            )
+        )
+        for c1, c2, s, v in batch
+    ]
+    stack = [np.stack([p[i] for p in prep]) for i in range(6)]
+    pair_flat, cid1_flat, cid2_flat, score_flat, valid_sorted, n_valid = stack
+
+    subset_p, active_p = merge_people_pallas_batched(
+        jnp.asarray(pair_flat),
+        pairs[pair_flat, 0], pairs[pair_flat, 1],
+        jnp.asarray(cid1_flat), jnp.asarray(cid2_flat),
+        jnp.asarray(score_flat), jnp.asarray(n_valid),
+        jnp.asarray(peak_score), cap=CAP, interpret=True,
+    )
+
+    for bi in range(B):
+        subset_x, active_x, _ = D._merge_loop_xla(
+            jnp.asarray(pair_flat[bi]), jnp.asarray(cid1_flat[bi]),
+            jnp.asarray(cid2_flat[bi]), jnp.asarray(score_flat[bi]),
+            jnp.asarray(valid_sorted[bi]), int(n_valid[bi]),
+            jnp.asarray(peak_score[bi]), CAP,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(active_p[bi]), np.asarray(active_x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(subset_p[bi]), np.asarray(subset_x),
+            rtol=0, atol=0,
+        )

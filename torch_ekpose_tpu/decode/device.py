@@ -47,7 +47,8 @@ from torch_ekpose_tpu.utils.human import BodyPart, Human
 
 __all__ = [
     "DecodeResult", "build_decoder", "build_packed_decoder", "decode_jax",
-    "pack_result", "packed_to_humans", "paf_to_pose_jax", "unpack_result",
+    "decode_jax_batched", "pack_result", "packed_to_humans",
+    "paf_to_pose_jax", "unpack_result",
 ]
 
 _WIN = 2            # refinement patch half-width -> 5x5 patches
@@ -261,29 +262,35 @@ def _greedy_match_one(score: jax.Array, k: int):
 # stage 3: sequential person-row merging
 # ---------------------------------------------------------------------------
 
+def _merge_prep(conn_cid1, conn_cid2, conn_score, conn_valid, k: int):
+    """Compact valid connections to the front (stable, preserving the
+    reference's pair-major, score-descending processing order) so the
+    sequential merge loops over only those — cost scales with the actual
+    number of connections in the image."""
+    valid_flat = conn_valid.reshape(-1)
+    order = jnp.argsort(~valid_flat, stable=True)
+    return (
+        (order // k).astype(jnp.int32),
+        conn_cid1.reshape(-1)[order],
+        conn_cid2.reshape(-1)[order],
+        conn_score.reshape(-1)[order],
+        valid_flat[order],
+        jnp.sum(valid_flat),
+    )
+
+
 def _merge_people(
     conn_cid1, conn_cid2, conn_score, conn_valid, peak_score_flat,
     cap: int, k: int, use_pallas: bool = True,
 ):
     """Person grouping (reference pafprocess.cpp:127-185) over the [19, K]
     connection tables. Returns (subset [cap, 20], active [cap], n_rows).
-
-    Valid connections are compacted to the front (stable, preserving the
-    reference's pair-major, score-descending processing order) and the
-    sequential merge runs as a while_loop over only those — cost scales
-    with the actual number of connections in the image.
     """
     pairs = jnp.asarray(constants.COCO_PAIRS)
-    n_slots = 19 * k
 
-    valid_flat = conn_valid.reshape(-1)
-    order = jnp.argsort(~valid_flat, stable=True)
-    n_valid = jnp.sum(valid_flat)
-    cid1_flat = conn_cid1.reshape(-1)[order]
-    cid2_flat = conn_cid2.reshape(-1)[order]
-    score_flat = conn_score.reshape(-1)[order]
-    valid_sorted = valid_flat[order]
-    pair_flat = (order // k).astype(jnp.int32)
+    pair_flat, cid1_flat, cid2_flat, score_flat, valid_sorted, n_valid = (
+        _merge_prep(conn_cid1, conn_cid2, conn_score, conn_valid, k)
+    )
 
     if use_pallas and jax.default_backend() == "tpu":
         # one Pallas program for the whole sequential merge: person table
@@ -307,6 +314,23 @@ def _merge_people(
              cid1_flat, cid2_flat, score_flat, n_valid, peak_score_flat),
         )
         return subset, active, jnp.asarray(0, jnp.int32)
+
+    return _merge_loop_xla(
+        pair_flat, cid1_flat, cid2_flat, score_flat, valid_sorted, n_valid,
+        peak_score_flat, cap,
+    )
+
+
+def _merge_loop_xla(
+    pair_flat, cid1_flat, cid2_flat, score_flat, valid_sorted, n_valid,
+    peak_score_flat, cap: int,
+):
+    """The person merge as an XLA while_loop over pre-compacted [n_slots]
+    connection arrays — the non-TPU / vmap-fallback twin of
+    ``ops.pallas_merge.merge_people_pallas`` and the parity oracle for it.
+    Returns (subset [cap, 20], active [cap], n_rows)."""
+    pairs = jnp.asarray(constants.COCO_PAIRS)
+    n_slots = pair_flat.shape[0]
 
     def body(s, carry):
         # Straight-line masked arithmetic instead of lax.switch: on TPU
@@ -406,6 +430,33 @@ def _merge_people(
 # full decoder
 # ---------------------------------------------------------------------------
 
+def _decode_dense(
+    heatmaps, pafs, *, stride, n_steps, max_peaks, thresh_heatmap,
+    thresh_paf, thresh_cnt1,
+):
+    """The decoder's dense stages for ONE image: peak finding, sub-pixel
+    refinement, and all-pairs limb scoring. Pure batched tensor math —
+    safe under jax.vmap. Returns (xi, yi, score, peak_valid, limb_scores).
+    """
+    heatmaps = heatmaps.astype(jnp.float32)
+    pafs = pafs.astype(jnp.float32)
+    k = max_peaks
+
+    px, py, _, peak_valid = _find_topk_peaks(
+        heatmaps[:, :, :18], thresh_heatmap, k
+    )
+    xf, yf, score = _refine_peaks(heatmaps[:, :, :18], px, py, stride)
+    # the assembler stores truncated ints (reference pafprocess.h:26-31)
+    xi = jnp.trunc(xf).astype(jnp.int32)
+    yi = jnp.trunc(yf).astype(jnp.int32)
+    score = jnp.where(peak_valid, score, 0.0)
+
+    limb_scores, _ = _score_all_limbs(
+        pafs, xi, yi, peak_valid, stride, n_steps, thresh_paf, thresh_cnt1
+    )
+    return xi, yi, score, peak_valid, limb_scores
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -435,22 +486,14 @@ def decode_jax(
     XLA while_loops — required when the decoder will be vmapped (Pallas
     SMEM operands have no batching rule); under vmap the XLA loops run
     lock-step across the batch, so their per-iteration overhead amortizes.
+    For [B, ...] stacks prefer :func:`decode_jax_batched`, which keeps the
+    Pallas loop kernels by running them over an explicit batch grid.
     """
-    heatmaps = heatmaps.astype(jnp.float32)
-    pafs = pafs.astype(jnp.float32)
     k = max_peaks
-
-    px, py, _, peak_valid = _find_topk_peaks(
-        heatmaps[:, :, :18], thresh_heatmap, k
-    )
-    xf, yf, score = _refine_peaks(heatmaps[:, :, :18], px, py, stride)
-    # the assembler stores truncated ints (reference pafprocess.h:26-31)
-    xi = jnp.trunc(xf).astype(jnp.int32)
-    yi = jnp.trunc(yf).astype(jnp.int32)
-    score = jnp.where(peak_valid, score, 0.0)
-
-    limb_scores, _ = _score_all_limbs(
-        pafs, xi, yi, peak_valid, stride, n_steps, thresh_paf, thresh_cnt1
+    xi, yi, score, peak_valid, limb_scores = _decode_dense(
+        heatmaps, pafs, stride=stride, n_steps=n_steps, max_peaks=k,
+        thresh_heatmap=thresh_heatmap, thresh_paf=thresh_paf,
+        thresh_cnt1=thresh_cnt1,
     )
     if use_pallas_loops and jax.default_backend() == "tpu":
         # all 19 greedy matches as one Pallas program (K lock-step rounds
@@ -495,6 +538,105 @@ def decode_jax(
         peak_xy=jnp.stack([xi, yi], axis=-1).reshape(18 * k, 2),
         peak_score=score.reshape(18 * k),
         peak_valid=peak_valid.reshape(18 * k),
+        subset=subset,
+        person_valid=person_valid,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "n_steps", "max_peaks", "subset_cap", "thresh_heatmap",
+        "thresh_paf", "thresh_cnt1", "thresh_part_cnt", "thresh_human_score",
+        "use_pallas_loops",
+    ),
+)
+def decode_jax_batched(
+    heatmaps: jax.Array,
+    pafs: jax.Array,
+    *,
+    stride: int = constants.DOWNSAMPLE,
+    n_steps: int = constants.STEP_PAF,
+    max_peaks: int = 32,
+    subset_cap: int = 96,
+    thresh_heatmap: float = constants.THRESH_HEATMAP,
+    thresh_paf: float = constants.THRESH_VECTOR_SCORE,
+    thresh_cnt1: int = constants.THRESH_VECTOR_CNT1,
+    thresh_part_cnt: float = constants.THRESH_PART_CNT,
+    thresh_human_score: float = constants.THRESH_HUMAN_SCORE,
+    use_pallas_loops: bool = True,
+) -> DecodeResult:
+    """Decode a batch of [B, H, W, 19] heatmaps + [B, H, W, 38] PAFs on
+    device, returning a batched DecodeResult.
+
+    Same per-image semantics as :func:`decode_jax`. The dense stages run
+    under jax.vmap; the sequential match/merge stages run as the SAME
+    Pallas kernels as the single-image path, batched over an explicit
+    grid axis (match via pallas_call's grid-append vmap rule, merge via
+    ``merge_people_pallas_batched`` — its SMEM operands have no batching
+    rule, so the batch is a real grid dimension there). On non-TPU
+    backends both stages fall back to vmapped XLA while_loops.
+    """
+    k = max_peaks
+    b = heatmaps.shape[0]
+    on_tpu = use_pallas_loops and jax.default_backend() == "tpu"
+
+    xi, yi, score, peak_valid, limb_scores = jax.vmap(
+        functools.partial(
+            _decode_dense, stride=stride, n_steps=n_steps, max_peaks=k,
+            thresh_heatmap=thresh_heatmap, thresh_paf=thresh_paf,
+            thresh_cnt1=thresh_cnt1,
+        )
+    )(heatmaps, pafs)
+
+    if on_tpu:
+        from torch_ekpose_tpu.ops.pallas_match import greedy_match_pallas
+
+        ia, ib, cscore, cvalid = jax.vmap(greedy_match_pallas)(limb_scores)
+    else:
+        ia, ib, cscore, cvalid = jax.vmap(
+            jax.vmap(functools.partial(_greedy_match_one, k=k))
+        )(limb_scores)
+
+    pairs = jnp.asarray(constants.COCO_PAIRS)
+    cid1 = pairs[:, 0][None, :, None] * k + jnp.maximum(ia, 0)
+    cid2 = pairs[:, 1][None, :, None] * k + jnp.maximum(ib, 0)
+
+    pair_flat, cid1_flat, cid2_flat, score_flat, valid_sorted, n_valid = (
+        jax.vmap(functools.partial(_merge_prep, k=k))(
+            cid1, cid2, cscore, cvalid
+        )
+    )
+    peak_score_flat = score.reshape(b, 18 * k)
+    if on_tpu:
+        from torch_ekpose_tpu.ops.pallas_merge import (
+            merge_people_pallas_batched,
+        )
+
+        subset, active = merge_people_pallas_batched(
+            pair_flat, pairs[pair_flat, 0], pairs[pair_flat, 1],
+            cid1_flat, cid2_flat, score_flat, n_valid, peak_score_flat,
+            cap=subset_cap,
+        )
+    else:
+        subset, active, _ = jax.vmap(
+            functools.partial(_merge_loop_xla, cap=subset_cap)
+        )(
+            pair_flat, cid1_flat, cid2_flat, score_flat, valid_sorted,
+            n_valid, peak_score_flat,
+        )
+
+    counts = subset[..., 19]
+    totals = subset[..., 18]
+    person_valid = (
+        active
+        & (counts >= thresh_part_cnt)
+        & (totals / jnp.maximum(counts, 1.0) >= thresh_human_score)
+    )
+    return DecodeResult(
+        peak_xy=jnp.stack([xi, yi], axis=-1).reshape(b, 18 * k, 2),
+        peak_score=peak_score_flat,
+        peak_valid=peak_valid.reshape(b, 18 * k),
         subset=subset,
         person_valid=person_valid,
     )
@@ -564,21 +706,39 @@ def build_decoder(
 
 
 def build_packed_decoder(
-    config: Optional[Config] = None, batched: bool = False
+    config: Optional[Config] = None, batched: bool = False,
+    pallas: bool = True,
 ):
     """Jitted decoder whose output is the packed single-fetch buffer.
 
-    ``batched=True`` returns a vmapped (vmap-safe) decoder for [B, ...]
-    heatmap/PAF stacks. This is the one place the estimator, the sharded
-    estimator, and the server-side batch path all build their decode
-    programs from, so the packed layout stays consistent.
+    ``batched=True`` returns a decoder for [B, ...] heatmap/PAF stacks
+    (:func:`decode_jax_batched` — grid-batched Pallas loop kernels on
+    TPU, vmapped XLA loops elsewhere). This is the one place the
+    estimator, the sharded estimator, and the server-side batch path all
+    build their decode programs from, so the packed layout stays
+    consistent. ``pallas=False`` forces the XLA loop fallbacks — needed
+    when the program will be partitioned over a multi-chip mesh, where
+    XLA cannot infer shardings for Pallas custom calls.
     """
     config = config or default_cfg
-    decoder = build_decoder(config, vmap_safe=batched)
     if batched:
-        return jax.jit(
-            lambda heatmap, paf: pack_result(jax.vmap(decoder)(heatmap, paf))
+        batched_decoder = functools.partial(
+            decode_jax_batched,
+            use_pallas_loops=pallas,
+            stride=config.MODEL.DOWNSAMPLE,
+            n_steps=config.TEST.NUM_INTERMED_PTS_BETWEEN_KEYPOINTS,
+            max_peaks=config.DECODE.max_peaks_per_part,
+            subset_cap=config.DECODE.max_people * 3,
+            thresh_heatmap=config.TEST.THRESH_HEATMAP,
+            thresh_paf=config.TEST.THRESH_PAF,
+            thresh_cnt1=config.TEST.THRESH_VECTOR_CNT1,
+            thresh_part_cnt=float(config.TEST.THRESH_PART_CNT),
+            thresh_human_score=config.TEST.THRESH_HUMAN_SCORE,
         )
+        return jax.jit(
+            lambda heatmap, paf: pack_result(batched_decoder(heatmap, paf))
+        )
+    decoder = build_decoder(config, vmap_safe=not pallas)
     return jax.jit(lambda heatmap, paf: pack_result(decoder(heatmap, paf)))
 
 

@@ -96,9 +96,14 @@ class ShardedPoseEstimator:
                 )
 
             # the shared packed batch decoder, re-jitted with shardings so
-            # each chip decodes its own shard and the host fetches once
+            # each chip decodes its own shard and the host fetches once.
+            # Pallas loop kernels only on a 1-chip mesh: XLA cannot infer
+            # shardings for Pallas custom calls when partitioning.
             decode = jax.jit(
-                decode_device.build_packed_decoder(self.config, batched=True),
+                decode_device.build_packed_decoder(
+                    self.config, batched=True,
+                    pallas=self.mesh.size == 1,
+                ),
                 in_shardings=self._data,
                 out_shardings=self._data,
             )
