@@ -1,9 +1,16 @@
 """Benchmark: sustained single-chip streaming-inference throughput of the
 flagship vgg2016 pipeline at 432x368 (BASELINE.json headline metric) —
 device preprocessing + 6-stage CPM forward (bfloat16) + fully on-device
-pose decode, one fused XLA program per frame.
+pose decode (grid-batched Pallas match/merge kernels) on batches of 8
+frames, results packed into one buffer per batch. Two chained XLA
+programs (forward, then decode; buffers pass device-to-device), exactly
+how the production eval/video/serve paths run it — fusing the batched
+pair into one program sends XLA's optimization passes off a cliff
+(minutes of compile vs ~15 s).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Batch 8 is where per-chip throughput saturates on v5e (measured sweep in
+docs/PERF.md). Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` divides by 12.0 frames/s — the reference publishes no
 numbers (BASELINE.md) and cannot run in this image (no GPU, and its model
@@ -20,7 +27,9 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
+    """Defaults are the headline configuration; the knobs exist so the
+    same loop can be smoke-tested on CPU at tiny sizes."""
     import jax
 
     # persistent compilation cache: repeat bench runs skip the multi-minute
@@ -35,41 +44,56 @@ def main() -> None:
     from torch_ekpose_tpu.decode import device as decode_device
     from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
-    h, w = 368, 432
     cfg = get_default_config()
     model, variables = init_model(
         "vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfloat16
     )
     variables = cast_params(variables, jnp.bfloat16)
-    decoder = decode_device.build_decoder(cfg)
+    packed_decoder = decode_device.build_packed_decoder(cfg, batched=True)
 
     @jax.jit
-    def infer(variables, frame):
-        # preprocess -> 6-stage CPM forward -> full pose decode as ONE
-        # fused XLA program: nothing returns to the host until the
-        # fixed-shape DecodeResult
-        x = preprocess_jax(frame, "vgg")[None].astype(jnp.bfloat16)
-        (paf, heatmap), _ = model.apply(variables, x, train=False)
-        return decoder(
-            heatmap[0].astype(jnp.float32), paf[0].astype(jnp.float32)
+    def forward(variables, frames, tweak):
+        # ``tweak`` is a uint8 scalar derived from the PREVIOUS batch's
+        # decode output (always zero in value): it makes each iteration
+        # data-dependent on the last, so the measured loop cannot be
+        # reordered, overlapped, or skipped by any runtime — the final
+        # scalar fetch transitively proves every batch really ran.
+        x = jax.vmap(lambda f: preprocess_jax(f, "vgg"))(frames + tweak)
+        (paf, heatmap), _ = model.apply(
+            variables, x.astype(jnp.bfloat16), train=False
         )
+        return paf.astype(jnp.float32), heatmap.astype(jnp.float32)
+
+    @jax.jit
+    def chain(packed):
+        return (packed[0, 0] * 0).astype(jnp.uint8)
+
+    def infer(variables, frames, tweak):
+        # nothing returns to the host until the fixed-shape packed result
+        # buffer; paf/heatmap stay on device between the two programs
+        paf, heatmap = forward(variables, frames, tweak)
+        return packed_decoder(heatmap, paf)
 
     rng = np.random.default_rng(0)
-    frames = [
-        jnp.asarray(rng.integers(0, 255, (h, w, 3)), jnp.uint8)
-        for _ in range(8)
+    batches = [
+        jnp.asarray(rng.integers(0, 255, (b, h, w, 3)), jnp.uint8)
+        for _ in range(4)
     ]
 
     # warmup / compile
-    jax.block_until_ready(infer(variables, frames[0]))
+    tweak = jnp.asarray(0, jnp.uint8)
+    tweak = chain(infer(variables, batches[0], tweak))
+    jax.block_until_ready(tweak)
 
-    n = 50
     t0 = time.perf_counter()
     for i in range(n):
-        result = infer(variables, frames[i % len(frames)])
-    jax.block_until_ready(result)
+        result = infer(variables, batches[i % len(batches)], tweak)
+        tweak = chain(result)
+    # a real value fetch, not block_until_ready: it cannot return until
+    # the whole dependency chain has executed
+    assert int(jax.device_get(tweak)) == 0
     dt = time.perf_counter() - t0
-    fps = n / dt
+    fps = n * b / dt
 
     print(json.dumps({
         "metric": "vgg2016 inference+on-device-decode frames/sec/chip @432x368",

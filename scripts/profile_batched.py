@@ -1,0 +1,41 @@
+"""Sustained batched streaming throughput at 432x368: device preprocess +
+bf16 forward + grid-batched Pallas decode, one fused program per batch.
+Prints per-batch-size fps to pick the bench.py headline configuration."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time, json
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from torch_ekpose_tpu.config import get_default_config
+from torch_ekpose_tpu.models import cast_params, init_model
+from torch_ekpose_tpu.decode import device as decode_device
+from torch_ekpose_tpu.runtime.estimator import preprocess_jax
+
+h, w = 368, 432
+cfg = get_default_config()
+model, variables = init_model("vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfloat16)
+variables = cast_params(variables, jnp.bfloat16)
+packed_decoder = decode_device.build_packed_decoder(cfg, batched=True)
+
+@jax.jit
+def infer_batch(variables, frames):
+    x = jax.vmap(lambda f: preprocess_jax(f, "vgg"))(frames).astype(jnp.bfloat16)
+    (paf, heatmap), _ = model.apply(variables, x, train=False)
+    return packed_decoder(heatmap.astype(jnp.float32), paf.astype(jnp.float32))
+
+rng = np.random.default_rng(0)
+out = {}
+for b in (1, 4, 8, 16, 32):
+    frames = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)), jnp.uint8)
+    r = jax.block_until_ready(infer_batch(variables, frames))
+    n = max(2, 400 // b)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = infer_batch(variables, frames)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    out[b] = round(n * b / dt, 1)
+    print(json.dumps({"batch": b, "fps": out[b], "ms_per_batch": round(dt / n * 1e3, 2)}), flush=True)
+print(json.dumps({"all": out}))

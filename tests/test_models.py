@@ -132,3 +132,33 @@ def test_bfloat16_compute_dtype():
 def test_unknown_name_raises():
     with pytest.raises(KeyError):
         get_model("vgg2017")
+
+
+def test_cast_params_host_and_device_leaves():
+    """cast_params casts floating params to the target dtype on both host
+    (numpy) and device pytrees, leaves non-float leaves and non-params
+    collections untouched, and the two paths agree."""
+    from torch_ekpose_tpu.models import cast_params
+
+    host = {
+        "params": {
+            "conv": {"kernel": np.ones((3, 3, 4, 8), np.float32)},
+            "idx": np.arange(4, dtype=np.int32),
+        },
+        "batch_stats": {"mean": np.zeros(8, np.float32)},
+    }
+    out_h = cast_params(host, jnp.bfloat16)
+    assert out_h["params"]["conv"]["kernel"].dtype == jnp.bfloat16
+    assert isinstance(out_h["params"]["conv"]["kernel"], np.ndarray)
+    assert out_h["params"]["idx"].dtype == np.int32
+    assert out_h["batch_stats"]["mean"].dtype == np.float32
+
+    dev = jax.tree.map(jnp.asarray, host)
+    out_d = cast_params(dev, jnp.bfloat16)
+    assert out_d["params"]["conv"]["kernel"].dtype == jnp.bfloat16
+    assert out_d["params"]["idx"].dtype == jnp.int32
+    assert out_d["batch_stats"]["mean"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out_d["params"]["conv"]["kernel"], np.float32),
+        np.asarray(out_h["params"]["conv"]["kernel"], np.float32),
+    )

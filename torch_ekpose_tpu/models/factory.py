@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from torch_ekpose_tpu.models.heads import CpmHead, OpenPose
 from torch_ekpose_tpu.models.layers import depth_fn
@@ -113,13 +114,27 @@ def cast_params(variables: Dict, dtype) -> Dict:
     (weights are used exactly once per frame at batch 1, so weight traffic
     is pure overhead). The conv results are identical to casting at call
     time.
+
+    Host (numpy) params are cast on the host — so a later device upload
+    moves half the bytes, which matters when the accelerator sits behind a
+    slow transfer link. Device params are cast in ONE jitted program
+    instead of one dispatch per parameter.
     """
+    def cast(x):
+        return (
+            x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        )
+
     out = dict(variables)
-    out["params"] = jax.tree.map(
-        lambda x: x.astype(dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        variables["params"],
-    )
+    params = variables["params"]
+    if all(
+        isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(params)
+    ):
+        out["params"] = jax.tree.map(cast, params)
+    else:
+        out["params"] = jax.jit(
+            functools.partial(jax.tree.map, cast)
+        )(params)
     return out
 
 
@@ -138,8 +153,12 @@ def init_model(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     # jit the whole init so XLA compiles one fused program instead of one
-    # tiny program per parameter initializer (orders of magnitude faster).
+    # tiny program per parameter initializer (orders of magnitude faster),
+    # and keep the results on the device that ran it: a host round-trip
+    # here costs nothing on a co-located accelerator but minutes on an
+    # accelerator behind a slow device tunnel (~200 MB of VGG19 params
+    # each way). Callers that need host copies (checkpoint save) fetch
+    # explicitly.
     init_fn = jax.jit(functools.partial(model.init, train=False))
-    variables = jax.device_get(init_fn(rng, jnp.zeros(input_shape, dtype)))
-    variables = jax.tree.map(jnp.asarray, variables)
-    return model, variables
+    variables = init_fn(rng, jnp.zeros(input_shape, dtype))
+    return model, dict(variables)
