@@ -218,3 +218,56 @@ def test_grad_accum_matches_full_batch(small_model):
         np.testing.assert_allclose(
             float(logs1[name]), float(logs2[name]), rtol=2e-4
         )
+
+
+def test_trainer_preemption_checkpoint(tmp_path, small_model):
+    """SIGTERM mid-epoch: the in-flight batch finishes, preempt.ckpt holds
+    full resume state pointing at the interrupted epoch, and a fresh
+    trainer resumes from it."""
+    import os
+    import signal
+
+    from torch_ekpose_tpu.training import Trainer
+
+    cfg = Config()
+    cfg.TRAIN.square_size = S
+    cfg.TRAIN.lr = 1e-4
+    cfg.TRAIN.seed = 0
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(0, 1, (4, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((4, 2, 18, 3), dtype=np.float32)
+
+    trainer = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path), log_dir=str(tmp_path),
+        targets="device", num_devices=2,
+    )
+
+    class PreemptingLoader:
+        """Yields one batch, then delivers SIGTERM before the second."""
+
+        def __iter__(self):
+            yield images[:2], kpts[:2]
+            os.kill(os.getpid(), signal.SIGTERM)
+            yield images[2:], kpts[2:]
+
+    trainer.fit(
+        PreemptingLoader(), epochs=3, save_epoch=0, verbose=False
+    )
+    assert trainer.preempted
+    assert int(trainer.state.step) == 1   # second batch never ran
+    assert (tmp_path / "preempt.ckpt").exists()
+    # the handler was restored, not left pointing at the trainer
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    trainer2 = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path), log_dir=str(tmp_path),
+        targets="device", num_devices=2,
+    )
+    trainer2.restore(str(tmp_path / "preempt.ckpt"))
+    assert trainer2.epoch == 0            # interrupted epoch re-runs
+    assert int(trainer2.state.step) == 1
+    p1 = jax.tree.leaves(jax.tree.map(np.asarray, trainer.state.params))
+    p2 = jax.tree.leaves(jax.tree.map(np.asarray, trainer2.state.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)

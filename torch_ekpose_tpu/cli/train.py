@@ -117,9 +117,16 @@ def main(argv=None) -> None:
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
         num_devices=args.num_devices, grad_accum=args.grad_accum,
     )
+    preempt_ckpt = os.path.join(args.out_dir, "preempt.ckpt")
     if args.pretrained_path and args.pretrained_path.endswith(".ckpt"):
         trainer.restore(args.pretrained_path)
         print(f"INFO: resumed from {args.pretrained_path} "
+              f"at epoch {trainer.epoch}")
+    elif os.path.exists(preempt_ckpt):
+        # a preemption checkpoint from a killed run: pick up where it
+        # left off (the interrupted epoch re-runs in full)
+        trainer.restore(preempt_ckpt)
+        print(f"INFO: auto-resumed from {preempt_ckpt} "
               f"at epoch {trainer.epoch}")
     trainer.fit(train_loader, val_loader, epochs=args.epochs)
 

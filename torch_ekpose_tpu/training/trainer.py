@@ -8,6 +8,8 @@ resume, train.py:207-218), metrics, and the training-curve PNG.
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from typing import Dict, Iterable, Optional
 
@@ -88,6 +90,7 @@ class Trainer:
         self.epoch = 0
         self.best_val = float("inf")
         self.train_curve = {"train": [], "val": []}
+        self.preempted = False
 
     # -- epoch loops -----------------------------------------------------
 
@@ -98,6 +101,8 @@ class Trainer:
         end = time.time()
         logs = {}
         for batch in loader:
+            if self.preempted:
+                break
             data_time.update(time.time() - end)
             batch = shard_batch(self.mesh, batch)
             if train:
@@ -134,6 +139,33 @@ class Trainer:
         tc = self.config.TRAIN
         epochs = epochs if epochs is not None else tc.epochs
         save_epoch = save_epoch if save_epoch is not None else tc.save_epoch
+
+        # Preemption safety (TPU pods are routinely preempted; the
+        # reference loses everything since its last periodic save): on
+        # SIGTERM/SIGINT finish the in-flight batch, write a
+        # full-resume checkpoint, then stop cleanly. Signal handlers can
+        # only be installed from the main thread; elsewhere (tests,
+        # notebook executors) fit still honors an externally set
+        # ``self.preempted``.
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            def _on_signal(signum, frame):
+                self.preempted = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+        try:
+            return self._fit(
+                train_loader, val_loader, epochs, save_epoch, verbose
+            )
+        finally:
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
+
+    def _fit(
+        self, train_loader, val_loader, epochs, save_epoch, verbose
+    ) -> Dict[str, list]:
+        tc = self.config.TRAIN
         start = self.epoch
         for epoch in range(start, epochs):
             self.epoch = epoch
@@ -143,6 +175,14 @@ class Trainer:
             ):
                 train_loader.dataset.reseed(tc.seed + epoch)
             train_loss = self._run_epoch(train_loader, train=True)
+            if self.preempted:
+                # partial epoch: checkpoint everything but mark THIS
+                # epoch as the resume point so it is re-run in full
+                path = os.path.join(self.out_dir, "preempt.ckpt")
+                self.save(path, resume_epoch=epoch)
+                if verbose:
+                    print(f"preempted: full resume state saved to {path}")
+                break
             val_loss = (
                 self._run_epoch(val_loader, train=False)
                 if val_loader is not None else train_loss
@@ -174,7 +214,7 @@ class Trainer:
 
     # -- checkpointing (full resume state) -------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, resume_epoch: Optional[int] = None) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         payload = {
             "params": serialization.to_state_dict(
@@ -187,7 +227,9 @@ class Trainer:
                 jax.device_get(self.state.opt_state)
             ),
             "step": int(self.state.step),
-            "epoch": self.epoch + 1,
+            "epoch": (
+                resume_epoch if resume_epoch is not None else self.epoch + 1
+            ),
             "best_val": self.best_val,
             "scheduler": self.scheduler.state_dict(),
             "train_curve": self.train_curve,
