@@ -87,3 +87,58 @@ def test_forward_parity(reference_modules, our_name, ref_mod, kwargs):
         np.asarray(paf), paf_ref, rtol=1e-3, atol=1e-4
     )
     np.testing.assert_allclose(np.asarray(ht), ht_ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("our_name,ref_mod,kwargs", CASES)
+def test_export_roundtrip_strict_load(
+    reference_modules, our_name, ref_mod, kwargs
+):
+    """convert -> export(template) must reproduce the reference
+    state_dict exactly and strict-load into the reference model."""
+    from torch_ekpose_tpu.runtime import (
+        convert_torch_checkpoint,
+        export_torch_checkpoint,
+    )
+
+    torch.manual_seed(0)
+    ref = reference_modules[ref_mod].OpenPose(**kwargs)
+    ref.eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    variables = convert_torch_checkpoint(state, our_name)
+    exported = export_torch_checkpoint(
+        variables, our_name, prefix="", template=state
+    )
+
+    assert set(exported) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(
+            exported[k], state[k], err_msg=k
+        )
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+         for k, v in exported.items()},
+        strict=True,
+    )
+
+
+def test_export_default_prefix_survives_reference_loader(
+    reference_modules
+):
+    """The default module. prefix composes with the reference's
+    strip-first-7-chars loader convention (estimator.py:30-33)."""
+    from torch_ekpose_tpu.runtime import (
+        convert_torch_checkpoint,
+        export_torch_checkpoint,
+    )
+
+    torch.manual_seed(0)
+    ref = reference_modules["mobilenet"].OpenPose(
+        conv_width=1.0, conv_width2=1.0
+    )
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_checkpoint(state, "mobilenet")
+    exported = export_torch_checkpoint(variables, "mobilenet")
+    assert all(k.startswith("module.") for k in exported)
+    stripped = {k[7:]: v for k, v in exported.items()}
+    assert set(stripped) == set(state)

@@ -131,3 +131,27 @@ def test_estimator_end_to_end_small():
     humans, scale2 = est.estimate(img)
     assert isinstance(humans, list)
     assert scale == scale2
+
+
+def test_export_vgg_roundtrip(tmp_path):
+    """convert -> export -> convert is the identity, and the .pth written
+    by export loads back through the normal torch path."""
+    from torch_ekpose_tpu.runtime import export_torch_checkpoint
+
+    state = _fake_vgg_state()
+    variables = convert_torch_checkpoint(state, "vgg2016")
+    exported = export_torch_checkpoint(variables, "vgg2016", prefix="")
+    assert set(exported) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(exported[k], state[k], err_msg=k)
+
+    import jax
+
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "exported.pth")
+    export_torch_checkpoint(variables, "vgg2016", path=p)
+    again = convert_torch_checkpoint(p, "vgg2016")
+    a = jax.tree.leaves(jax.tree.map(np.asarray, variables))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, again))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -1,11 +1,18 @@
-"""Checkpoint I/O and PyTorch -> JAX weight conversion.
+"""Checkpoint I/O and two-way PyTorch <-> JAX weight conversion.
 
 Native checkpoints are flax msgpack files of the full variables pytree.
 For cross-validation against the reference, :func:`convert_torch_checkpoint`
 maps a reference ``state_dict`` (reference lib/network/vgg2016.py layer
 layout; ``module.``-prefixed when saved from DataParallel, see reference
 lib/evaluate/estimator.py:22-42) onto our flax parameter tree, transposing
-conv kernels OIHW -> HWIO.
+conv kernels OIHW -> HWIO. :func:`export_torch_checkpoint` runs the same
+mapping backwards, producing a state_dict the reference implementation
+loads and runs — so models trained here flow back to the reference
+ecosystem.
+
+Each model family's layout is ONE declarative table of
+(kind, torch name, flax tree path) entries, interpreted in either
+direction; the two converters cannot drift apart.
 
 Unlike the reference loader — which unconditionally strips the first seven
 characters of every key and therefore only loads DataParallel checkpoints —
@@ -15,7 +22,7 @@ the prefix is stripped only when actually present.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -24,6 +31,7 @@ __all__ = [
     "load_checkpoint",
     "load_torch_state_dict",
     "convert_torch_checkpoint",
+    "export_torch_checkpoint",
 ]
 
 
@@ -57,8 +65,30 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
-    """OIHW (torch) -> HWIO (flax)."""
+    """OIHW (torch) -> HWIO (flax). The same transpose maps torch
+    depthwise [C, 1, k, k] onto flax grouped-conv [k, k, 1, C]."""
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv_kernel_inv(w: np.ndarray) -> np.ndarray:
+    """HWIO (flax) -> OIHW (torch)."""
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+# ---------------------------------------------------------------------------
+# declarative mapping tables
+#
+# Entry = (kind, torch_module_name, flax_path)
+#   "conv_wb": {t}.weight (OIHW) -> params path/kernel, {t}.bias -> path/bias
+#   "conv_w" : {t}.weight (OIHW) -> params path/kernel (bias-free conv; also
+#              depthwise kernels — same transpose)
+#   "bn"     : {t}.weight/.bias -> params path/scale,bias;
+#              {t}.running_mean/.running_var -> batch_stats path/mean,var;
+#              {t}.num_batches_tracked dropped on import, emitted as 0 on
+#              export
+# ---------------------------------------------------------------------------
+
+Entry = Tuple[str, str, Tuple[str, ...]]
 
 
 #: torch Sequential conv indices of the vgg2016 backbone
@@ -71,231 +101,239 @@ _VGG_STAGE1_CONV_IDX = (0, 2, 4, 6, 8)
 _VGG_REFINE_CONV_IDX = (0, 2, 4, 6, 8, 10, 12)
 
 
-def _convert_vgg2016(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    params: Dict[str, Any] = {"model0": {}, "head": {}}
-
-    def take(name: str, dst: Dict[str, Any], key: str):
-        w = state.pop(f"{name}.weight")
-        b = state.pop(f"{name}.bias")
-        dst[key] = {"conv": {"kernel": _conv_kernel(w), "bias": b}}
-
+def _vgg_entries() -> List[Entry]:
+    entries: List[Entry] = []
     for idx in _VGG_BACKBONE_CONV_IDX:
-        take(f"model0.backbone.{idx}", params["model0"], f"conv_{idx}")
-
+        entries.append((
+            "conv_wb", f"model0.backbone.{idx}",
+            ("model0", f"conv_{idx}", "conv"),
+        ))
     for stage in range(1, 7):
         idxs = _VGG_STAGE1_CONV_IDX if stage == 1 else _VGG_REFINE_CONV_IDX
         for branch in (1, 2):
             name = f"model{stage}_{branch}"
-            dst: Dict[str, Any] = {}
             for idx in idxs:
-                take(f"{name}.{idx}", dst, f"conv_{idx}")
-            params["head"][name] = dst
-
-    if state:
-        raise ValueError(
-            f"unconsumed reference parameters: {sorted(state)[:8]}..."
-        )
-    return {"params": params}
+                entries.append((
+                    "conv_wb", f"{name}.{idx}",
+                    ("head", name, f"conv_{idx}", "conv"),
+                ))
+    return entries
 
 
-# ---------------------------------------------------------------------------
-# depthwise-separable model families (mobilenet / mobilenetV2 / shufflenetV2)
-# ---------------------------------------------------------------------------
-
-def _dw_kernel(w: np.ndarray) -> np.ndarray:
-    """torch depthwise [C, 1, k, k] -> flax grouped-conv [k, k, 1, C]."""
-    return _conv_kernel(w)
-
-
-def _take_bn(state: Dict[str, np.ndarray], tname: str):
-    """Consume a torch BatchNorm2d -> (params, stats)."""
-    params = {
-        "scale": state.pop(f"{tname}.weight"),
-        "bias": state.pop(f"{tname}.bias"),
-    }
-    stats = {
-        "mean": state.pop(f"{tname}.running_mean"),
-        "var": state.pop(f"{tname}.running_var"),
-    }
-    state.pop(f"{tname}.num_batches_tracked", None)
-    return params, stats
-
-
-def _take_dsconv(state, tname: str):
-    """Consume a reference DSConv (reference lib/network/mobilenet.py:20-33:
+def _dsconv_entries(tname: str, path: Tuple[str, ...]) -> List[Entry]:
+    """A reference DSConv (reference lib/network/mobilenet.py:20-33:
     depthwise -> pointwise -> bn)."""
-    params = {
-        "depthwise": {"kernel": _dw_kernel(state.pop(f"{tname}.depthwise.weight"))},
-        "pointwise": {"kernel": _conv_kernel(state.pop(f"{tname}.pointwise.weight"))},
-    }
-    bn_p, bn_s = _take_bn(state, f"{tname}.bn")
-    params["bn"] = bn_p
-    return params, {"bn": bn_s}
+    return [
+        ("conv_w", f"{tname}.depthwise", path + ("depthwise",)),
+        ("conv_w", f"{tname}.pointwise", path + ("pointwise",)),
+        ("bn", f"{tname}.bn", path + ("bn",)),
+    ]
 
 
-def _convert_ds_head(state) -> tuple:
+def _ds_head_entries() -> List[Entry]:
     """The shared 5-DSConv-per-branch head (reference mobilenet.py:98-134,
     identical in mobilenetV2.py:156-191 / shufflenetV2.py:192-228)."""
-    params, stats = {}, {}
+    entries: List[Entry] = []
     for stage in range(1, 7):
         for branch in (1, 2):
             name = f"model{stage}_{branch}"
-            bp, bs = {}, {}
             for j in range(5):
-                p, s = _take_dsconv(state, f"{name}.{j}")
-                bp[f"ds_{j}"] = p
-                bs[f"ds_{j}"] = s
-            params[name] = bp
-            stats[name] = bs
-    return params, stats
+                entries.extend(
+                    _dsconv_entries(f"{name}.{j}", ("head", name, f"ds_{j}"))
+                )
+    return entries
 
 
-def _drop_prefixes(state, prefixes) -> None:
-    """Remove parameters the reference constructs but never uses in its
-    forward pass (they still appear in its checkpoints)."""
-    for k in [k for k in state if k.startswith(tuple(prefixes))]:
-        state.pop(k)
-
-
-def _convert_mobilenet(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def _mobilenet_entries() -> List[Entry]:
     """reference lib/network/mobilenet.py: model0 is a 12-block ModuleList
-    nested inside the OpenPose's model0 attribute."""
-    params = {"model0": {}, "head": {}}
-    stats = {"model0": {}, "head": {}}
-    # block 0: ConvBN (conv + bn)
-    p0 = {"conv": {"kernel": _conv_kernel(
-        state.pop("model0.model0.0.conv.weight"))}}
-    bn_p, bn_s = _take_bn(state, "model0.model0.0.bn")
-    p0["bn"] = bn_p
-    params["model0"]["block_0"] = p0
-    stats["model0"]["block_0"] = {"bn": bn_s}
+    nested inside the OpenPose's model0 attribute; block 0 is a ConvBN."""
+    entries: List[Entry] = [
+        ("conv_w", "model0.model0.0.conv", ("model0", "block_0", "conv")),
+        ("bn", "model0.model0.0.bn", ("model0", "block_0", "bn")),
+    ]
     for i in range(1, 12):
-        p, s = _take_dsconv(state, f"model0.model0.{i}")
-        params["model0"][f"block_{i}"] = p
-        stats["model0"][f"block_{i}"] = s
-    params["head"], stats["head"] = _convert_ds_head(state)
-    if state:
-        raise ValueError(
-            f"unconsumed reference parameters: {sorted(state)[:8]}..."
+        entries.extend(
+            _dsconv_entries(f"model0.model0.{i}", ("model0", f"block_{i}"))
         )
-    return {"params": params, "batch_stats": stats}
+    entries.extend(_ds_head_entries())
+    return entries
 
 
-def _convert_mobilenet_v2(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """reference lib/network/mobilenetV2.py. irblock14-17, avgpool, and
-    last_layer are constructed but unused by the forward pass
-    (mobilenetV2.py:107-114 vs :118-138) and are dropped."""
-    _drop_prefixes(state, [
-        "model0.irblock14.", "model0.irblock15.", "model0.irblock16.",
-        "model0.irblock17.", "model0.last_layer.",
-    ])
-    params = {"model0": {}, "head": {}}
-    stats = {"model0": {}, "head": {}}
-    # stem ConvBN is an nn.Sequential: conv at .0, bn at .1
-    stem = {"conv": {"kernel": _conv_kernel(
-        state.pop("model0.features.0.weight"))}}
-    bn_p, bn_s = _take_bn(state, "model0.features.1")
-    stem["bn"] = bn_p
-    params["model0"]["stem"] = stem
-    stats["model0"]["stem"] = {"bn": bn_s}
-
+def _mobilenet_v2_entries() -> List[Entry]:
+    """reference lib/network/mobilenetV2.py. The stem ConvBN is an
+    nn.Sequential (conv at .0, bn at .1); irblock1 has expand_ratio 1 (no
+    expand conv, mobilenetV2.py:45-56)."""
+    entries: List[Entry] = [
+        ("conv_w", "model0.features.0", ("model0", "stem", "conv")),
+        ("bn", "model0.features.1", ("model0", "stem", "bn")),
+    ]
     for k in range(1, 14):
         base = f"model0.irblock{k}.conv"
-        p, s = {}, {}
+        path = ("model0", f"irblock_{k}")
         if k == 1:  # expand_ratio == 1: dw at .0/.1, project at .3/.4
-            p["depthwise"] = {"kernel": _dw_kernel(
-                state.pop(f"{base}.0.weight"))}
-            bp, bs = _take_bn(state, f"{base}.1")
-            p["depthwise_bn"], s["depthwise_bn"] = bp, bs
-            p["project"] = {"kernel": _conv_kernel(
-                state.pop(f"{base}.3.weight"))}
-            bp, bs = _take_bn(state, f"{base}.4")
-            p["project_bn"], s["project_bn"] = bp, bs
+            entries.extend([
+                ("conv_w", f"{base}.0", path + ("depthwise",)),
+                ("bn", f"{base}.1", path + ("depthwise_bn",)),
+                ("conv_w", f"{base}.3", path + ("project",)),
+                ("bn", f"{base}.4", path + ("project_bn",)),
+            ])
         else:  # expand at .0/.1, dw at .3/.4, project at .6/.7
-            p["expand"] = {"kernel": _conv_kernel(
-                state.pop(f"{base}.0.weight"))}
-            bp, bs = _take_bn(state, f"{base}.1")
-            p["expand_bn"], s["expand_bn"] = bp, bs
-            p["depthwise"] = {"kernel": _dw_kernel(
-                state.pop(f"{base}.3.weight"))}
-            bp, bs = _take_bn(state, f"{base}.4")
-            p["depthwise_bn"], s["depthwise_bn"] = bp, bs
-            p["project"] = {"kernel": _conv_kernel(
-                state.pop(f"{base}.6.weight"))}
-            bp, bs = _take_bn(state, f"{base}.7")
-            p["project_bn"], s["project_bn"] = bp, bs
-        params["model0"][f"irblock_{k}"] = p
-        stats["model0"][f"irblock_{k}"] = s
-
-    params["head"], stats["head"] = _convert_ds_head(state)
-    if state:
-        raise ValueError(
-            f"unconsumed reference parameters: {sorted(state)[:8]}..."
-        )
-    return {"params": params, "batch_stats": stats}
+            entries.extend([
+                ("conv_w", f"{base}.0", path + ("expand",)),
+                ("bn", f"{base}.1", path + ("expand_bn",)),
+                ("conv_w", f"{base}.3", path + ("depthwise",)),
+                ("bn", f"{base}.4", path + ("depthwise_bn",)),
+                ("conv_w", f"{base}.6", path + ("project",)),
+                ("bn", f"{base}.7", path + ("project_bn",)),
+            ])
+    entries.extend(_ds_head_entries())
+    return entries
 
 
-def _convert_shufflenet_v2(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """reference lib/network/shufflenetV2.py. stage4 and conv5 are
-    constructed but unused by the forward pass (shufflenetV2.py:140-152 vs
-    :155-168) and are dropped."""
-    _drop_prefixes(state, ["model0.stage4.", "model0.conv5."])
-    params = {"model0": {}, "head": {}}
-    stats = {"model0": {}, "head": {}}
-    params["model0"]["conv1"] = {"kernel": _conv_kernel(
-        state.pop("model0.conv1.0.weight"))}
-    bn_p, bn_s = _take_bn(state, "model0.conv1.1")
-    params["model0"]["conv1_bn"] = bn_p
-    stats["model0"]["conv1_bn"] = bn_s
-
-    def take_branch2(base, p, s):
-        p["b2_pw1"] = {"kernel": _conv_kernel(state.pop(f"{base}.0.weight"))}
-        bp, bs = _take_bn(state, f"{base}.1")
-        p["b2_pw1_bn"], s["b2_pw1_bn"] = bp, bs
-        p["b2_dw"] = {"kernel": _dw_kernel(state.pop(f"{base}.3.weight"))}
-        bp, bs = _take_bn(state, f"{base}.4")
-        p["b2_dw_bn"], s["b2_dw_bn"] = bp, bs
-        p["b2_pw2"] = {"kernel": _conv_kernel(state.pop(f"{base}.5.weight"))}
-        bp, bs = _take_bn(state, f"{base}.6")
-        p["b2_pw2_bn"], s["b2_pw2_bn"] = bp, bs
-
+def _shufflenet_v2_entries() -> List[Entry]:
+    """reference lib/network/shufflenetV2.py. Stride-2 units (i == 0) have
+    a branch1: dw@0, bn@1, pw@2, bn@3 (no activation between dw-bn and pw,
+    shufflenetV2.py:64-73)."""
+    entries: List[Entry] = [
+        ("conv_w", "model0.conv1.0", ("model0", "conv1")),
+        ("bn", "model0.conv1.1", ("model0", "conv1_bn")),
+    ]
     for stage, repeats in (("stage2", 4), ("stage3", 8)):
         for i in range(repeats):
             base = f"model0.{stage}.{i}"
-            p, s = {}, {}
-            if i == 0:  # stride-2 unit has branch1: dw@0, bn@1, pw@2, bn@3
-                # (no activation between dw-bn and pw, shufflenetV2.py:64-73)
-                p["b1_dw"] = {"kernel": _dw_kernel(
-                    state.pop(f"{base}.branch1.0.weight"))}
-                bp, bs = _take_bn(state, f"{base}.branch1.1")
-                p["b1_dw_bn"], s["b1_dw_bn"] = bp, bs
-                p["b1_pw"] = {"kernel": _conv_kernel(
-                    state.pop(f"{base}.branch1.2.weight"))}
-                bp, bs = _take_bn(state, f"{base}.branch1.3")
-                p["b1_pw_bn"], s["b1_pw_bn"] = bp, bs
-            take_branch2(f"{base}.branch2", p, s)
-            params["model0"][f"{stage}_{i}"] = p
-            stats["model0"][f"{stage}_{i}"] = s
+            path = ("model0", f"{stage}_{i}")
+            if i == 0:
+                entries.extend([
+                    ("conv_w", f"{base}.branch1.0", path + ("b1_dw",)),
+                    ("bn", f"{base}.branch1.1", path + ("b1_dw_bn",)),
+                    ("conv_w", f"{base}.branch1.2", path + ("b1_pw",)),
+                    ("bn", f"{base}.branch1.3", path + ("b1_pw_bn",)),
+                ])
+            entries.extend([
+                ("conv_w", f"{base}.branch2.0", path + ("b2_pw1",)),
+                ("bn", f"{base}.branch2.1", path + ("b2_pw1_bn",)),
+                ("conv_w", f"{base}.branch2.3", path + ("b2_dw",)),
+                ("bn", f"{base}.branch2.4", path + ("b2_dw_bn",)),
+                ("conv_w", f"{base}.branch2.5", path + ("b2_pw2",)),
+                ("bn", f"{base}.branch2.6", path + ("b2_pw2_bn",)),
+            ])
+    entries.extend(_ds_head_entries())
+    return entries
 
-    params["head"], stats["head"] = _convert_ds_head(state)
+
+#: parameters the reference constructs but never uses in its forward pass
+#: (they still appear in its checkpoints and must be dropped on import)
+_UNUSED_PREFIXES = {
+    "mobilenetV2": (
+        "model0.irblock14.", "model0.irblock15.", "model0.irblock16.",
+        "model0.irblock17.", "model0.last_layer.",
+    ),
+    "shufflenetV2": ("model0.stage4.", "model0.conv5."),
+}
+
+_FAMILIES = {
+    "vgg2016": ("vgg2016", _vgg_entries),
+    "mobilenet": ("mobilenet", _mobilenet_entries),
+    "mobilenet_thin": ("mobilenet", _mobilenet_entries),
+    "mobilenetV2": ("mobilenetV2", _mobilenet_v2_entries),
+    "mobilenetV2_large": ("mobilenetV2", _mobilenet_v2_entries),
+    "mobilenetV2_small": ("mobilenetV2", _mobilenet_v2_entries),
+    "shufflenetV2_1.0x": ("shufflenetV2", _shufflenet_v2_entries),
+    "shufflenetV2_0.5x": ("shufflenetV2", _shufflenet_v2_entries),
+}
+
+
+def _family(model_name: str) -> Tuple[str, List[Entry]]:
+    try:
+        family, build = _FAMILIES[model_name]
+    except KeyError:
+        raise NotImplementedError(
+            f"no torch-checkpoint mapping for {model_name!r}; "
+            f"available: {sorted(_FAMILIES)}"
+        ) from None
+    return family, build()
+
+
+# ---------------------------------------------------------------------------
+# the two interpreters
+# ---------------------------------------------------------------------------
+
+def _set_in(tree: Dict[str, Any], path: Iterable[str], leaf) -> None:
+    d = tree
+    *parents, last = path
+    for k in parents:
+        d = d.setdefault(k, {})
+    d[last] = leaf
+
+
+def _get_in(tree: Dict[str, Any], path: Iterable[str]):
+    d = tree
+    for k in path:
+        d = d[k]
+    return np.asarray(d)
+
+
+def _import_entries(
+    entries: List[Entry], state: Dict[str, np.ndarray]
+) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for kind, tname, path in entries:
+        if kind == "conv_wb":
+            _set_in(params, path + ("kernel",),
+                    _conv_kernel(state.pop(f"{tname}.weight")))
+            _set_in(params, path + ("bias",), state.pop(f"{tname}.bias"))
+        elif kind == "conv_w":
+            _set_in(params, path + ("kernel",),
+                    _conv_kernel(state.pop(f"{tname}.weight")))
+        elif kind == "bn":
+            _set_in(params, path + ("scale",), state.pop(f"{tname}.weight"))
+            _set_in(params, path + ("bias",), state.pop(f"{tname}.bias"))
+            _set_in(stats, path + ("mean",),
+                    state.pop(f"{tname}.running_mean"))
+            _set_in(stats, path + ("var",),
+                    state.pop(f"{tname}.running_var"))
+            state.pop(f"{tname}.num_batches_tracked", None)
+        else:  # pragma: no cover
+            raise AssertionError(kind)
     if state:
         raise ValueError(
             f"unconsumed reference parameters: {sorted(state)[:8]}..."
         )
-    return {"params": params, "batch_stats": stats}
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
-_CONVERTERS = {
-    "vgg2016": _convert_vgg2016,
-    "mobilenet": _convert_mobilenet,
-    "mobilenet_thin": _convert_mobilenet,
-    "mobilenetV2": _convert_mobilenet_v2,
-    "mobilenetV2_large": _convert_mobilenet_v2,
-    "mobilenetV2_small": _convert_mobilenet_v2,
-    "shufflenetV2_1.0x": _convert_shufflenet_v2,
-    "shufflenetV2_0.5x": _convert_shufflenet_v2,
-}
+def _export_entries(
+    entries: List[Entry], variables: Dict[str, Any]
+) -> Dict[str, np.ndarray]:
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for kind, tname, path in entries:
+        if kind == "conv_wb":
+            out[f"{tname}.weight"] = _conv_kernel_inv(
+                _get_in(params, path + ("kernel",))
+            )
+            out[f"{tname}.bias"] = _get_in(params, path + ("bias",))
+        elif kind == "conv_w":
+            out[f"{tname}.weight"] = _conv_kernel_inv(
+                _get_in(params, path + ("kernel",))
+            )
+        elif kind == "bn":
+            out[f"{tname}.weight"] = _get_in(params, path + ("scale",))
+            out[f"{tname}.bias"] = _get_in(params, path + ("bias",))
+            out[f"{tname}.running_mean"] = _get_in(stats, path + ("mean",))
+            out[f"{tname}.running_var"] = _get_in(stats, path + ("var",))
+            out[f"{tname}.num_batches_tracked"] = np.asarray(0, np.int64)
+    return out
 
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
 
 def convert_torch_checkpoint(
     path_or_state: Any, model_name: str = "vgg2016"
@@ -303,20 +341,73 @@ def convert_torch_checkpoint(
     """Convert a reference PyTorch checkpoint to our flax variables.
 
     ``path_or_state``: a filesystem path or an in-memory
-    {name: array} dict. Returns ``{"params": ...}`` ready for
-    ``model.apply``. Every reference parameter must be consumed, so a
-    mismatched architecture fails loudly instead of silently dropping
-    weights.
+    {name: array} dict. Returns ``{"params": ...}`` (plus
+    ``batch_stats`` for BN families) ready for ``model.apply``. Every
+    reference parameter must be consumed, so a mismatched architecture
+    fails loudly instead of silently dropping weights.
     """
     if isinstance(path_or_state, (str, os.PathLike)):
         state = load_torch_state_dict(os.fspath(path_or_state))
     else:
         state = {k: np.asarray(v) for k, v in path_or_state.items()}
-    try:
-        converter = _CONVERTERS[model_name]
-    except KeyError:
-        raise NotImplementedError(
-            f"no torch-checkpoint converter for {model_name!r}; "
-            f"available: {sorted(_CONVERTERS)}"
-        ) from None
-    return converter(dict(state))
+    family, entries = _family(model_name)
+    state = dict(state)
+    for prefix in _UNUSED_PREFIXES.get(family, ()):
+        for k in [k for k in state if k.startswith(prefix)]:
+            state.pop(k)
+    return _import_entries(entries, state)
+
+
+def export_torch_checkpoint(
+    variables: Dict[str, Any],
+    model_name: str = "vgg2016",
+    path: Optional[str] = None,
+    prefix: str = "module.",
+    template: Optional[Dict[str, np.ndarray]] = None,
+) -> Dict[str, np.ndarray]:
+    """Export our flax variables as a reference-format state_dict.
+
+    ``prefix`` defaults to ``module.`` because the reference loader
+    unconditionally strips the first seven characters of every key
+    (reference lib/evaluate/estimator.py:30-33) — only DataParallel-style
+    checkpoints survive it.
+
+    The reference models also CONTAIN parameters their forward pass never
+    touches (mobilenetV2 irblock14-17/last_layer, shufflenetV2
+    stage4/conv5); a strict ``load_state_dict`` wants values for those
+    too. Pass ``template`` (e.g. ``load_torch_state_dict`` of any
+    reference checkpoint of the same architecture, or a fresh reference
+    model's state_dict) to fill them; without one the export contains
+    exactly the forward-relevant parameters and the reference must load
+    with ``strict=False``.
+
+    If ``path`` is given the state_dict is written with ``torch.save``.
+    Returns the (un-prefixed keys aside) state_dict as numpy arrays.
+    """
+    import jax
+
+    family, entries = _family(model_name)
+    host_vars = jax.device_get(variables)
+    out = _export_entries(entries, host_vars)
+    if template is not None:
+        tmpl = {
+            (k[len("module."):] if k.startswith("module.") else k):
+                np.asarray(v)
+            for k, v in template.items()
+        }
+        for k, v in tmpl.items():
+            if k not in out:
+                out[k] = v
+    out = {f"{prefix}{k}": v for k, v in out.items()}
+    if path is not None:
+        import torch
+
+        os.makedirs(
+            os.path.dirname(os.path.abspath(path)), exist_ok=True
+        )
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+             out.items()},
+            path,
+        )
+    return out
