@@ -95,11 +95,16 @@ class Trainer:
     # -- epoch loops -----------------------------------------------------
 
     def _run_epoch(self, loader: Iterable, train: bool) -> float:
-        loss_meter = AverageMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
         end = time.time()
         logs = {}
+        # the per-batch loss accumulates ON DEVICE: fetching the scalar
+        # each step forces a host sync per batch (a full round trip on
+        # remote-device setups) and stalls the dispatch pipeline; one
+        # fetch per epoch costs nothing
+        loss_sum = None
+        n_seen = 0
         for batch in loader:
             if self.preempted:
                 break
@@ -109,13 +114,18 @@ class Trainer:
                 self.state, logs = self.train_step(self.state, *batch)
             else:
                 logs = self.eval_step(self.state, *batch)
-            loss = float(logs["Loss"])
-            loss_meter.update(loss, n=batch[0].shape[0])
+            n = batch[0].shape[0]
+            weighted = logs["Loss"] * n
+            loss_sum = weighted if loss_sum is None else loss_sum + weighted
+            n_seen += n
             batch_time.update(time.time() - end)
             end = time.time()
+        avg_loss = (
+            float(loss_sum) / n_seen if loss_sum is not None else 0.0
+        )
         tag = "train" if train else "val"
         step = self.epoch
-        self.metrics.add_scalar(f"Loss/{tag}", loss_meter.avg, step)
+        self.metrics.add_scalar(f"Loss/{tag}", avg_loss, step)
         if logs:
             self.metrics.add_scalars(
                 {
@@ -126,7 +136,7 @@ class Trainer:
             )
         self.metrics.add_scalar(f"BatchTime/{tag}", batch_time.avg, step)
         self.metrics.add_scalar(f"DataTime/{tag}", data_time.avg, step)
-        return loss_meter.avg
+        return avg_loss
 
     def fit(
         self,
