@@ -18,13 +18,23 @@ from torch_ekpose_tpu.runtime import (
     load_checkpoint,
 )
 
-__all__ = ["add_model_args", "build_estimator", "report_devices"]
+__all__ = [
+    "add_model_args", "apply_platform", "build_estimator", "report_devices",
+]
 
 
 def report_devices() -> None:
     devs = jax.devices()
     kinds = {d.platform for d in devs}
     print(f">>>> Using {len(devs)} {'/'.join(sorted(kinds))} device(s) <<<<")
+
+
+def apply_platform(platform: str) -> None:
+    """Pin the jax backend (the reference's --device cpu|cuda|mps flag,
+    estimator.py:7-19). 'auto' keeps jax's default platform selection.
+    Must run before the first jax computation."""
+    if platform and platform != "auto":
+        jax.config.update("jax_platforms", platform)
 
 
 def add_model_args(parser: argparse.ArgumentParser) -> None:
@@ -48,6 +58,12 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         choices=["bfloat16", "float32"],
         help="activation compute dtype (params stay float32)",
     )
+    parser.add_argument(
+        "--platform", type=str, default="auto",
+        choices=["auto", "cpu", "tpu"],
+        help="pin the jax backend (the reference's --device flag; no "
+        "-d short form — that's taken by --datasets in train/eval)",
+    )
 
 
 def load_variables(model_name: str, ckpt: Optional[str]):
@@ -66,6 +82,7 @@ def load_variables(model_name: str, ckpt: Optional[str]):
 def build_estimator(
     args: argparse.Namespace, config: Optional[Config] = None
 ) -> PoseEstimator:
+    apply_platform(getattr(args, "platform", "auto"))
     report_devices()
     variables = load_variables(args.model, args.ckpt)
     return PoseEstimator(
