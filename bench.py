@@ -90,9 +90,12 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
         result = infer(variables, batches[i % len(batches)], tweak)
         tweak = chain(result)
     # a real value fetch, not block_until_ready: it cannot return until
-    # the whole dependency chain has executed
-    assert int(jax.device_get(tweak)) == 0
+    # the whole dependency chain has executed (an unconditional statement
+    # — an assert would vanish under python -O and stop the clock early)
+    final = int(jax.device_get(tweak))
     dt = time.perf_counter() - t0
+    if final != 0:
+        raise RuntimeError(f"chain scalar should be 0, got {final}")
     fps = n * b / dt
 
     print(json.dumps({

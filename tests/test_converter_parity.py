@@ -103,7 +103,13 @@ def test_export_roundtrip_strict_load(
     torch.manual_seed(0)
     ref = reference_modules[ref_mod].OpenPose(**kwargs)
     ref.eval()
-    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    state = {
+        # nonzero num_batches_tracked, as in any trained checkpoint: the
+        # export must take it from the template, not synthesize 0
+        k: (np.full_like(v.detach().numpy(), 7)
+            if k.endswith("num_batches_tracked") else v.detach().numpy())
+        for k, v in ref.state_dict().items()
+    }
 
     variables = convert_torch_checkpoint(state, our_name)
     exported = export_torch_checkpoint(

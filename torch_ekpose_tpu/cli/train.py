@@ -98,9 +98,13 @@ def main(argv=None) -> None:
 
     if args.warmup_epochs:
         print(f"INFO: {args.warmup_epochs}-epoch frozen-backbone warmup")
+        # own out_dir: the frozen-backbone opt_state (multi_transform) is
+        # structurally different from the main run's, so its preempt.ckpt
+        # must never be picked up by the main trainer's auto-resume
         warmup = Trainer(
             args.model, config=cfg, variables=variables,
-            out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
+            out_dir=os.path.join(args.out_dir, "warmup"),
+            log_dir=log_dir, targets=args.targets,
             num_devices=args.num_devices, freeze_backbone=True,
             grad_accum=args.grad_accum,
         )
@@ -108,6 +112,9 @@ def main(argv=None) -> None:
             train_loader, val_loader, epochs=args.warmup_epochs,
             save_epoch=0,
         )
+        if warmup.preempted:
+            print("INFO: preempted during warmup; exiting")
+            return
         variables = {"params": warmup.state.params}
         if warmup.state.batch_stats:
             variables["batch_stats"] = warmup.state.batch_stats
@@ -124,10 +131,14 @@ def main(argv=None) -> None:
               f"at epoch {trainer.epoch}")
     elif os.path.exists(preempt_ckpt):
         # a preemption checkpoint from a killed run: pick up where it
-        # left off (the interrupted epoch re-runs in full)
+        # left off (the interrupted epoch re-runs in full). Consumed on
+        # restore — otherwise every later run in this out_dir would
+        # silently resume from stale state. A second preemption writes a
+        # fresh one; periodic epoch_N.ckpt files cover crashes between.
         trainer.restore(preempt_ckpt)
+        os.remove(preempt_ckpt)
         print(f"INFO: auto-resumed from {preempt_ckpt} "
-              f"at epoch {trainer.epoch}")
+              f"at epoch {trainer.epoch} (checkpoint consumed)")
     trainer.fit(train_loader, val_loader, epochs=args.epochs)
 
 

@@ -120,22 +120,32 @@ def cast_params(variables: Dict, dtype) -> Dict:
     slow transfer link. Device params are cast in ONE jitted program
     instead of one dispatch per parameter.
     """
-    def cast(x):
-        return (
-            x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
-        )
-
     out = dict(variables)
     params = variables["params"]
     if all(
         isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(params)
     ):
-        out["params"] = jax.tree.map(cast, params)
+        out["params"] = jax.tree.map(_cast_leaf_builder(dtype), params)
     else:
-        out["params"] = jax.jit(
-            functools.partial(jax.tree.map, cast)
-        )(params)
+        out["params"] = _device_cast(dtype)(params)
     return out
+
+
+def _cast_leaf_builder(dtype):
+    def cast(x):
+        return (
+            x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        )
+    return cast
+
+
+@functools.lru_cache(maxsize=None)
+def _device_cast(dtype):
+    # one cached jitted program per dtype — a fresh jax.jit wrapper per
+    # call would retrace and recompile the whole-tree cast every time
+    return jax.jit(
+        functools.partial(jax.tree.map, _cast_leaf_builder(dtype))
+    )
 
 
 def init_model(

@@ -396,7 +396,9 @@ def export_torch_checkpoint(
             for k, v in template.items()
         }
         for k, v in tmpl.items():
-            if k not in out:
+            # num_batches_tracked is bookkeeping our variables don't
+            # carry — the template's real value beats the synthesized 0
+            if k not in out or k.endswith("num_batches_tracked"):
                 out[k] = v
     out = {f"{prefix}{k}": v for k, v in out.items()}
     if path is not None:

@@ -95,9 +95,9 @@ class Trainer:
     # -- epoch loops -----------------------------------------------------
 
     def _run_epoch(self, loader: Iterable, train: bool) -> float:
-        batch_time = AverageMeter()
         data_time = AverageMeter()
-        end = time.time()
+        t_loop = time.time()
+        end = t_loop
         logs = {}
         # the per-batch loss accumulates ON DEVICE: fetching the scalar
         # each step forces a host sync per batch (a full round trip on
@@ -105,6 +105,7 @@ class Trainer:
         # fetch per epoch costs nothing
         loss_sum = None
         n_seen = 0
+        n_batches = 0
         for batch in loader:
             if self.preempted:
                 break
@@ -118,11 +119,15 @@ class Trainer:
             weighted = logs["Loss"] * n
             loss_sum = weighted if loss_sum is None else loss_sum + weighted
             n_seen += n
-            batch_time.update(time.time() - end)
+            n_batches += 1
             end = time.time()
         avg_loss = (
             float(loss_sum) / n_seen if loss_sum is not None else 0.0
         )
+        # dispatch is async, so per-batch wall times would measure only
+        # the host loop; the honest per-batch figure is the epoch wall —
+        # measured AFTER the float() above synchronized — over batches
+        batch_time = (time.time() - t_loop) / max(n_batches, 1)
         tag = "train" if train else "val"
         step = self.epoch
         self.metrics.add_scalar(f"Loss/{tag}", avg_loss, step)
@@ -134,7 +139,7 @@ class Trainer:
                 },
                 step,
             )
-        self.metrics.add_scalar(f"BatchTime/{tag}", batch_time.avg, step)
+        self.metrics.add_scalar(f"BatchTime/{tag}", batch_time, step)
         self.metrics.add_scalar(f"DataTime/{tag}", data_time.avg, step)
         return avg_loss
 
@@ -197,6 +202,15 @@ class Trainer:
                 self._run_epoch(val_loader, train=False)
                 if val_loader is not None else train_loss
             )
+            if self.preempted:
+                # preempted during validation: the partial val loss must
+                # not reach the scheduler / best-checkpoint logic; the
+                # whole epoch re-runs on resume
+                path = os.path.join(self.out_dir, "preempt.ckpt")
+                self.save(path, resume_epoch=epoch)
+                if verbose:
+                    print(f"preempted: full resume state saved to {path}")
+                break
             self.train_curve["train"].append(train_loss)
             self.train_curve["val"].append(val_loss)
 
