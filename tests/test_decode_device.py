@@ -179,3 +179,54 @@ def test_packed_batched_decoder_matches_humans(small_cfg):
         got = device.packed_to_humans(packed[i], up_h, up_w, small_cfg)
         want = device.paf_to_pose_jax(scenes[i][0], scenes[i][1], small_cfg)
         _assert_same_humans(got, want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_device_matches_oracle_crowded(small_cfg, seed):
+    """Adversarial scenes: enough people to saturate the per-part peak
+    capacity and overlap limb corridors — exercises top-k truncation,
+    candidate-pair pruning, and disjoint person merging under pressure."""
+    rng = np.random.default_rng(seed + 500)
+    kpts = np.zeros((7, 18, 3))
+    for p in range(7):
+        cx, cy = rng.uniform(60, 310), rng.uniform(80, 290)
+        scale = rng.uniform(0.3, 0.5)
+        offsets = np.array([
+            (0, -95), (0, -70), (-25, -70), (-32, -35), (-36, 0), (25, -70),
+            (32, -35), (36, 0), (-18, 0), (-20, 45), (-20, 90), (18, 0),
+            (20, 45), (20, 90), (-8, -103), (8, -103), (-17, -99), (17, -99),
+        ])
+        kpts[p, :, :2] = (
+            np.array([cx, cy]) + offsets * scale + rng.normal(0, 2, (18, 2))
+        )
+        kpts[p, :, 2] = 2
+    heat, pafs = gen_targets_np(kpts, GY, GX, STRIDE, 7.0)
+    heat = (heat + rng.normal(0, 0.02, heat.shape)).astype(np.float32)
+    pafs = (pafs + rng.normal(0, 0.02, pafs.shape)).astype(np.float32)
+    want = oracle.paf_to_pose_numpy(heat, pafs, small_cfg)
+    got = device.paf_to_pose_jax(heat, pafs, small_cfg)
+    _assert_same_humans(got, want)
+
+
+def test_device_matches_oracle_threshold_straddle(small_cfg):
+    """Heatmap values straddling THRESH_HEATMAP and PAF magnitudes around
+    THRESH_PAF: the accept/reject boundary must agree with the oracle."""
+    rng = np.random.default_rng(77)
+    heat = np.zeros((GY, GX, 19), dtype=np.float32)
+    pafs = np.zeros((GY, GX, 38), dtype=np.float32)
+    thr = small_cfg.TEST.THRESH_HEATMAP
+    # isolated peaks at, just above, and just below threshold
+    spots = [(8, 8, thr + 0.05), (8, 30, thr + 0.004), (30, 8, thr - 0.004),
+             (30, 30, thr + 0.2), (20, 20, thr + 0.11)]
+    for j, (y, x, v) in enumerate(spots):
+        heat[y, x, j % 18] = v
+        heat[y - 1, x, j % 18] = v * 0.5
+        heat[y, x - 1, j % 18] = v * 0.5
+    heat[..., 18] = np.clip(1 - heat[..., :18].max(-1), 0, 1)
+    heat += rng.normal(0, 0.001, heat.shape).astype(np.float32)
+    pafs += rng.normal(0, small_cfg.TEST.THRESH_PAF, pafs.shape).astype(
+        np.float32
+    )
+    want = oracle.paf_to_pose_numpy(heat, pafs, small_cfg)
+    got = device.paf_to_pose_jax(heat, pafs, small_cfg)
+    _assert_same_humans(got, want)
