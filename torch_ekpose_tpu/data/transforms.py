@@ -26,7 +26,7 @@ import copy
 import io
 import math
 from abc import ABCMeta, abstractmethod
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import PIL.Image

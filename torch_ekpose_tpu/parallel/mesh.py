@@ -13,7 +13,6 @@ layout only changes this module.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -21,7 +21,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax

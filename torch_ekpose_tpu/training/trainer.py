@@ -27,7 +27,6 @@ from torch_ekpose_tpu.training.metrics import (
 )
 from torch_ekpose_tpu.training.schedule import ReduceLROnPlateau
 from torch_ekpose_tpu.training.train_step import (
-    TrainState,
     create_train_state,
     make_eval_step,
     make_optimizer,
