@@ -271,3 +271,38 @@ def test_trainer_preemption_checkpoint(tmp_path, small_model):
     p2 = jax.tree.leaves(jax.tree.map(np.asarray, trainer2.state.params))
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_data_parallel_matches_single_device(small_model):
+    """The sharded 8-device train step must produce the same loss and
+    (near-)identical parameter updates as a single-device step on the
+    same global batch — the SPMD decomposition is an implementation
+    detail, not a numerics change."""
+    model, variables = small_model
+    rng = np.random.default_rng(11)
+    images = rng.normal(0, 1, (8, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((8, 3, 18, 3), dtype=np.float32)
+    kpts[:, 0, :, 0] = rng.uniform(10, 54, (8, 18))
+    kpts[:, 0, :, 1] = rng.uniform(10, 54, (8, 18))
+    kpts[:, 0, :, 2] = 2
+
+    def run(n_devices):
+        import optax
+
+        # SGD: linear in the gradient, so any difference seen is real
+        # (Adam's rsqrt amplifies last-ulp reduction-order noise)
+        mesh = make_mesh(n_devices)
+        state = jax.device_put(
+            create_train_state(model, variables, optax.sgd(1e-4)),
+            replicated(mesh),
+        )
+        step = make_train_step(model, targets="device", grid=GRID)
+        batch = shard_batch(mesh, (images, kpts))
+        state, logs = step(state, *batch)
+        return float(logs["Loss"]), jax.tree.map(np.asarray, state.params)
+
+    loss_1, params_1 = run(1)
+    loss_8, params_8 = run(8)
+    np.testing.assert_allclose(loss_8, loss_1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
