@@ -203,9 +203,17 @@ def test_eval_pipeline_jax_backend_batched(tmp_path):
             self.decode_backend = "jax"
 
         def estimate_batch(self, images):
+            return self.collect_batch(self.estimate_batch_async(images))
+
+        def estimate_batch_async(self, images):
+            # handle-based protocol like the real PoseEstimator: the
+            # evaluator dispatches, then collects later
+            return self.get_outputs_batch(images)
+
+        def collect_batch(self, handle):
             from torch_ekpose_tpu.decode.device import paf_to_pose_jax
 
-            pafs_b, heat_b = self.get_outputs_batch(images)
+            pafs_b, heat_b = handle
             return [
                 paf_to_pose_jax(heat, pafs, self.config)
                 for heat, pafs in zip(heat_b, pafs_b)

@@ -190,6 +190,21 @@ def _run_eval_batched(
         out = draw_humans(image, humans)
         _write_image(os.path.join(vis_dir, info["file_name"]), out)
 
+    # device batches kept in flight for the jax backend: the next
+    # bucket's host-side image loading/padding overlaps the previous
+    # batch's forward+decode on device
+    pending = []
+
+    def drain_one():
+        handle, bucket, hw = pending.pop(0)
+        humans_b = estimator.collect_batch(handle)
+        for (img_id, _, scale, seq, image), humans in zip(
+            bucket, humans_b
+        ):
+            upsample = (hw[0] / scale, hw[1] / scale)
+            append_result(img_id, humans, upsample, ready)
+            visualize(seq, img_id, image, humans)
+
     def flush(bucket):
         # pad remainder buckets to the full batch size so each padded
         # shape compiles exactly one executable
@@ -198,17 +213,14 @@ def _run_eval_batched(
             + [bucket[-1][1]] * (batch_size - len(bucket))
         )
         if estimator.decode_backend == "jax":
-            # forward + vmapped decode as one on-device program; only
-            # fixed-shape DecodeResults come back to the host
-            humans_b = estimator.estimate_batch(stack)
-            for (img_id, _, scale, seq, image), humans in zip(
-                bucket, humans_b
-            ):
-                upsample = (
-                    stack.shape[1] / scale, stack.shape[2] / scale,
-                )
-                append_result(img_id, humans, upsample, ready)
-                visualize(seq, img_id, image, humans)
+            # forward + batched on-device decode; only fixed-shape
+            # packed DecodeResults come back to the host
+            pending.append((
+                estimator.estimate_batch_async(stack), bucket,
+                stack.shape[1:3],
+            ))
+            while len(pending) > 2:
+                drain_one()
             return
         pafs_b, heatmaps_b = estimator.get_outputs_batch(stack)
         for (img_id, _, scale, seq, image), pafs, heatmaps in zip(
@@ -240,6 +252,8 @@ def _run_eval_batched(
             flush(buckets.pop(key))
     for bucket in buckets.values():
         flush(bucket)
+    while pending:
+        drain_one()
     # image order does not matter to the evaluator, but keep rows grouped
     outputs.extend(ready)
 
