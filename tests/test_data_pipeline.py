@@ -258,3 +258,64 @@ def test_random_rotate_image_keypoint_alignment():
     cy, cx = bright.mean(axis=0)
     kx2, ky2 = out_anns[0]["keypoints"][0, :2]
     assert np.hypot(cx - kx2, cy - ky2) < 3.0
+
+
+def test_process_loader_matches_thread_loader(tiny_coco):
+    """mode='process' (spawned workers) must produce byte-identical
+    batches to mode='thread' — the per-item pipeline is deterministic
+    given (seed, index), and the seed rides along with each task."""
+    img_dir, anno = tiny_coco
+    from torch_ekpose_tpu.data.dataset import BatchLoader, CocoKeypoints
+
+    def make(mode):
+        ds = CocoKeypoints(
+            img_dir, anno,
+            preprocess=T.TRAIN_PREPROCESS(64),
+            image_transform=T.image_transform_train,
+            target_mode="device", input_size=64,
+        )
+        ds.reseed(123)
+        return BatchLoader(
+            ds, 2, shuffle=True, num_workers=2, drop_last=False,
+            seed=5, mode=mode,
+        )
+
+    threaded = make("thread")
+    processed = make("process")
+    try:
+        for _ in range(2):  # two epochs: per-epoch seeds + shuffle agree
+            tb = list(threaded)
+            pb = list(processed)
+            assert len(tb) == len(pb) == 3
+            for a, b in zip(tb, pb):
+                assert len(a) == len(b)
+                for x, y in zip(a, b):
+                    np.testing.assert_array_equal(x, y)
+    finally:
+        processed.close()
+
+
+class _BrokenDataset:
+    """Module-level so spawn can pickle it."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, index):
+        raise ValueError("boom")
+
+
+def test_process_loader_propagates_worker_error(tiny_coco):
+    from torch_ekpose_tpu.data.dataset import BatchLoader
+
+    ds = _BrokenDataset()
+    _unused = None
+    loader = BatchLoader(
+        ds, 2, shuffle=False, num_workers=1, drop_last=False,
+        mode="process",
+    )
+    try:
+        with pytest.raises(RuntimeError, match="loader worker failed"):
+            list(loader)
+    finally:
+        loader.close()

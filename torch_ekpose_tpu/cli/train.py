@@ -34,6 +34,13 @@ def main(argv=None) -> None:
     parser.add_argument("--square_size", type=int, default=368)
     parser.add_argument("--save_epoch", type=int, default=20)
     parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument(
+        "--loader-mode", type=str, default="process",
+        choices=["process", "thread"],
+        help="loader workers: real processes (like the reference's "
+        "DataLoader; the host pipeline is GIL-bound under threads) or "
+        "threads (lighter, fine for small runs)",
+    )
     parser.add_argument("--n-images", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=0)
     parser.add_argument("--grad-accum", type=int, default=1,
@@ -85,6 +92,7 @@ def main(argv=None) -> None:
         return BatchLoader(
             ds, args.batch_size, shuffle=train,
             num_workers=args.workers, drop_last=train,
+            mode=args.loader_mode,
         )
 
     train_loader = make_loader("train", True)

@@ -206,13 +206,49 @@ def collate_images_targets_meta(batch):
     return tuple(np.stack([b[i] for b in batch]) for i in range(3))
 
 
-class BatchLoader:
-    """Threaded, prefetching batch iterator over an indexable dataset.
+def _stack_items(dataset, idxs) -> Tuple[np.ndarray, ...]:
+    items = [dataset[int(i)] for i in idxs]
+    return tuple(
+        np.stack([it[f] for it in items]) for f in range(len(items[0]))
+    )
 
-    Replaces the reference's torch DataLoader(num_workers=8, pin_memory)
-    (reference train.py:269-276) without the torch dependency: worker
-    threads run the (numpy/PIL, GIL-releasing) pipeline and a bounded queue
-    feeds stacked numpy batches to the consumer.
+
+def _process_worker(dataset, todo, done) -> None:
+    """Loop of a spawned loader worker: tasks are
+    (epoch_key, seed, batch_index, indices); ``None`` shuts down. The
+    per-item pipeline is deterministic given (seed, index), so workers
+    reproduce exactly what the in-process pipeline would have built."""
+    import traceback
+
+    while True:
+        task = todo.get()
+        if task is None:
+            return
+        epoch_key, seed, bi, idxs = task
+        try:
+            if seed is not None and hasattr(dataset, "reseed"):
+                dataset.reseed(seed)
+            done.put((epoch_key, bi, _stack_items(dataset, idxs)))
+        except Exception:  # noqa: BLE001 - crossing a process boundary
+            done.put((
+                epoch_key, bi,
+                RuntimeError(traceback.format_exc()),
+            ))
+
+
+class BatchLoader:
+    """Prefetching batch iterator over an indexable dataset — the
+    equivalent of the reference's torch DataLoader(num_workers=8,
+    pin_memory) (reference train.py:269-276) without the torch dependency.
+
+    ``mode="thread"``: worker threads run the (numpy/PIL, partially
+    GIL-releasing) pipeline — cheap, fine for small runs. ``mode=
+    "process"``: spawned worker processes, like torch's DataLoader —
+    the per-item pipeline holds the GIL for much of its work, so only
+    processes scale it across cores, and feeding a multi-chip training
+    run needs that. Workers persist across epochs; per-epoch
+    augmentation seeds ride along with each task, so the two modes
+    produce byte-identical batches (tested).
     """
 
     def __init__(
@@ -224,7 +260,10 @@ class BatchLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 4,
+        mode: str = "thread",
     ):
+        if mode not in ("thread", "process"):
+            raise ValueError(f"unknown loader mode {mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -232,7 +271,43 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.mode = mode
         self._epoch = 0
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is not None:
+            return
+        import multiprocessing as mp
+
+        # spawn, not fork: the parent usually has jax/XLA initialized,
+        # whose runtime threads do not survive forking
+        ctx = mp.get_context("spawn")
+        self._todo = ctx.Queue()
+        self._done = ctx.Queue(maxsize=max(self.prefetch, 1))
+        self._pool = [
+            ctx.Process(
+                target=_process_worker,
+                args=(self.dataset, self._todo, self._done),
+                daemon=True,
+            )
+            for _ in range(self.num_workers)
+        ]
+        for p in self._pool:
+            p.start()
+
+    def close(self) -> None:
+        """Stop process workers (daemonic, so they also die with the
+        parent; call this to release them earlier)."""
+        if self._pool is None:
+            return
+        for _ in self._pool:
+            self._todo.put(None)
+        for p in self._pool:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -254,6 +329,10 @@ class BatchLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.mode == "process":
+            yield from self._iter_process(batches)
+            return
 
         todo: "queue.Queue" = queue.Queue()
         done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -301,6 +380,30 @@ class BatchLoader:
             while next_bi in received:
                 with lock:
                     out = results.pop(next_bi)
+                if isinstance(out, Exception):
+                    raise RuntimeError(
+                        f"loader worker failed on batch {next_bi}"
+                    ) from out
+                yield out
+                next_bi += 1
+
+    def _iter_process(self, batches):
+        self._ensure_pool()
+        epoch_key = self._epoch          # already advanced by __iter__
+        seed = getattr(self.dataset, "_seed", None)
+        for bi, idxs in enumerate(batches):
+            self._todo.put((epoch_key, seed, bi, [int(i) for i in idxs]))
+        results = {}
+        next_bi = 0
+        while next_bi < len(batches):
+            got_epoch, bi, out = self._done.get()
+            if got_epoch != epoch_key:
+                # stale result from an epoch abandoned mid-iteration
+                # (e.g. training preempted): drop it
+                continue
+            results[bi] = out
+            while next_bi in results:
+                out = results.pop(next_bi)
                 if isinstance(out, Exception):
                     raise RuntimeError(
                         f"loader worker failed on batch {next_bi}"
