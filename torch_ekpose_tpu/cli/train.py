@@ -55,7 +55,23 @@ def main(argv=None) -> None:
                         "(reference train.py:130-166)")
     parser.add_argument("--logdir", type=str, default="./logs/")
     parser.add_argument("--out-dir", type=str, default="./checkpoints/")
+    parser.add_argument(
+        "--coordinator", type=str, default=None,
+        help="multi-host: coordinator address host:port "
+        "(process 0's machine); requires --num-processes/--process-id",
+    )
+    parser.add_argument("--num-processes", type=int, default=1)
+    parser.add_argument("--process-id", type=int, default=0)
     args = parser.parse_args(argv)
+
+    if args.coordinator:
+        # must happen before any other jax use; afterwards jax.devices()
+        # spans every host and the mesh/pjit program runs SPMD across them
+        from torch_ekpose_tpu.parallel import init_distributed
+
+        init_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
 
     stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     log_dir = os.path.join(args.logdir, stamp)
@@ -89,10 +105,21 @@ def main(argv=None) -> None:
             input_size=args.square_size,
             n_images=args.n_images,
         )
+        import jax
+
+        n_proc = jax.process_count()
+        if args.batch_size % max(n_proc, 1):
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide evenly "
+                f"across {n_proc} processes"
+            )
+        # each process loads its strided shard of the dataset and feeds
+        # its slice of the global batch (shard_batch assembles the rest)
         return BatchLoader(
-            ds, args.batch_size, shuffle=train,
+            ds, args.batch_size // n_proc, shuffle=train,
             num_workers=args.workers, drop_last=train,
             mode=args.loader_mode,
+            shard=(jax.process_index(), n_proc),
         )
 
     train_loader = make_loader("train", True)
@@ -144,7 +171,8 @@ def main(argv=None) -> None:
         # silently resume from stale state. A second preemption writes a
         # fresh one; periodic epoch_N.ckpt files cover crashes between.
         trainer.restore(preempt_ckpt)
-        os.remove(preempt_ckpt)
+        if trainer.is_main_process:
+            os.remove(preempt_ckpt)
         print(f"INFO: auto-resumed from {preempt_ckpt} "
               f"at epoch {trainer.epoch} (checkpoint consumed)")
     trainer.fit(train_loader, val_loader, epochs=args.epochs)

@@ -261,9 +261,12 @@ class BatchLoader:
         seed: int = 0,
         prefetch: int = 4,
         mode: str = "thread",
+        shard: Tuple[int, int] = (0, 1),
     ):
         if mode not in ("thread", "process"):
             raise ValueError(f"unknown loader mode {mode!r}")
+        if not (0 <= shard[0] < shard[1]):
+            raise ValueError(f"invalid shard {shard!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -272,6 +275,7 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.mode = mode
+        self.shard = tuple(shard)
         self._epoch = 0
         self._pool = None
 
@@ -310,7 +314,7 @@ class BatchLoader:
         self._pool = None
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.shard[1]   # equal-length shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -321,6 +325,13 @@ class BatchLoader:
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, self._epoch])
             ).shuffle(order)
+        if self.shard != (0, 1):
+            # multi-host: same shuffle seed everywhere, disjoint strided
+            # shards per process, truncated to equal length — unequal
+            # batch counts would deadlock the collective train step
+            # (torch DistributedSampler semantics)
+            order = order[self.shard[0]::self.shard[1]]
+            order = order[: len(self.dataset) // self.shard[1]]
         self._epoch += 1
 
         batches = [

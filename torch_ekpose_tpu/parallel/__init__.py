@@ -1,6 +1,8 @@
 from torch_ekpose_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
+    init_distributed,
+    place_replicated,
     replicated,
     shard_batch,
 )
@@ -9,6 +11,8 @@ __all__ = [
     "ShardedPoseEstimator",
     "data_sharding",
     "make_mesh",
+    "init_distributed",
+    "place_replicated",
     "replicated",
     "shard_batch",
 ]

@@ -7,6 +7,13 @@ are sharded across devices, parameters are replicated, and XLA inserts the
 gradient all-reduce (psum over ICI) during ``jax.jit`` partitioning — no
 explicit collective code is needed at this scale.
 
+Multi-host (e.g. a v5e pod slice spanning hosts, gradients riding
+ICI/DCN) uses the same mesh over the GLOBAL device set:
+:func:`init_distributed` brings up jax's coordination service, after
+which ``jax.devices()`` spans every process and the same pjit program
+runs SPMD across hosts. ``shard_batch`` assembles global arrays from
+each process's local shard of the batch.
+
 The mesh axis layout is kept in one place so a future 2-D (data x model)
 layout only changes this module.
 """
@@ -18,13 +25,36 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "init_distributed", "make_mesh", "data_sharding", "replicated",
+    "place_replicated", "shard_batch",
+]
 
 DATA_AXIS = "data"
 
 
+def init_distributed(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_ids=None,
+) -> None:
+    """Join a multi-host run (call before any other jax use; the
+    reference has no multi-host story at all). After this,
+    ``jax.devices()`` is the GLOBAL device set and ``make_mesh()``
+    spans it.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh. ``num_devices=0`` uses all local devices."""
+    """1-D data-parallel mesh. ``num_devices=0`` uses all (global, when
+    distributed) devices."""
     if devices is None:
         devices = jax.devices()
     if num_devices:
@@ -41,7 +71,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_replicated(mesh: Mesh, tree):
+    """Replicate a pytree of host arrays onto every device of the mesh.
+
+    Single-process: one device_put. Multi-process: every process holds an
+    identical host copy (e.g. a seeded init or a restored checkpoint) and
+    the global array is assembled from per-device copies — device_put
+    cannot place onto non-addressable devices.
+    """
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        local = mesh.local_devices
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_single_device_arrays(
+                x.shape, sharding, [jax.device_put(x, d) for d in local]
+            )
+
+        return jax.tree.map(put, tree)
+    return jax.device_put(tree, sharding)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with the batch axis sharded."""
+    """Place a pytree of host arrays with the batch axis sharded.
+
+    Single-process: one device_put. Multi-process: each process passes
+    its LOCAL slice of the batch (its loader's shard) and the result is
+    the global array — batch axis globally sharded, addressable shards
+    fed from local data.
+    """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -19,7 +19,11 @@ from flax import serialization
 
 from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.models import get_model, init_model
-from torch_ekpose_tpu.parallel import make_mesh, replicated, shard_batch
+from torch_ekpose_tpu.parallel import (
+    make_mesh,
+    place_replicated,
+    shard_batch,
+)
 from torch_ekpose_tpu.training.metrics import (
     AverageMeter,
     MetricsWriter,
@@ -35,6 +39,19 @@ from torch_ekpose_tpu.training.train_step import (
 )
 
 __all__ = ["Trainer"]
+
+
+class _NullMetrics:
+    """Metrics sink for non-zero processes of a multi-host run."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_scalars(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
 
 
 class Trainer:
@@ -72,7 +89,7 @@ class Trainer:
             tc.lr, tc.weight_decay, freeze_backbone=freeze_backbone
         )
         state = create_train_state(self.model, variables, tx)
-        self.state = jax.device_put(state, replicated(self.mesh))
+        self.state = place_replicated(self.mesh, state)
 
         grid = (tc.square_size // 8, tc.square_size // 8)
         self.train_step = make_train_step(
@@ -85,7 +102,14 @@ class Trainer:
             tc.lr, factor=tc.lr_factor, patience=tc.lr_patience
         )
         self.out_dir = out_dir
-        self.metrics = MetricsWriter(log_dir)
+        # multi-host runs: every process computes identically, but only
+        # process 0 owns the filesystem artifacts (metrics, checkpoints,
+        # curve PNG)
+        self.is_main_process = jax.process_index() == 0
+        self.metrics = (
+            MetricsWriter(log_dir) if self.is_main_process
+            else _NullMetrics()
+        )
         self.epoch = 0
         self.best_val = float("inf")
         self.train_curve = {"train": [], "val": []}
@@ -229,15 +253,18 @@ class Trainer:
             if epoch > 5 and val_loss < self.best_val:
                 self.best_val = val_loss
                 self.save(os.path.join(self.out_dir, "best_epoch.ckpt"))
-            save_training_curve(
-                os.path.join(self.out_dir, "training_curve.png"),
-                self.train_curve["train"], self.train_curve["val"],
-            )
+            if self.is_main_process:
+                save_training_curve(
+                    os.path.join(self.out_dir, "training_curve.png"),
+                    self.train_curve["train"], self.train_curve["val"],
+                )
         return self.train_curve
 
     # -- checkpointing (full resume state) -------------------------------
 
     def save(self, path: str, resume_epoch: Optional[int] = None) -> None:
+        if not self.is_main_process:
+            return
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         payload = {
             "params": serialization.to_state_dict(
@@ -278,7 +305,7 @@ class Trainer:
             ),
             step=payload["step"],
         )
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = place_replicated(self.mesh, self.state)
         self.epoch = int(payload["epoch"])
         self.best_val = float(payload["best_val"])
         self.scheduler.load_state_dict(payload["scheduler"])
