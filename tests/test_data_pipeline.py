@@ -305,11 +305,10 @@ class _BrokenDataset:
         raise ValueError("boom")
 
 
-def test_process_loader_propagates_worker_error(tiny_coco):
+def test_process_loader_propagates_worker_error():
     from torch_ekpose_tpu.data.dataset import BatchLoader
 
     ds = _BrokenDataset()
-    _unused = None
     loader = BatchLoader(
         ds, 2, shuffle=False, num_workers=1, drop_last=False,
         mode="process",

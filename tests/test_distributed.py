@@ -66,7 +66,11 @@ print("RESULT " + json.dumps({
 def test_two_process_data_parallel_matches_single(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
+    # SO_REUSEADDR narrows the bind/close -> coordinator-bind race
+    # window; a stolen port would fail initialize() and the assert below
+    # reports it rather than hanging (workers have a 600 s cap)
     with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 

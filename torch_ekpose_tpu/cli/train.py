@@ -108,10 +108,13 @@ def main(argv=None) -> None:
         import jax
 
         n_proc = jax.process_count()
-        if args.batch_size % max(n_proc, 1):
+        n_dev = args.num_devices or jax.device_count()
+        if args.batch_size % max(n_dev, 1):
+            # the data sharding splits the batch axis across every mesh
+            # device, so process-count divisibility alone is not enough
             raise SystemExit(
                 f"--batch_size {args.batch_size} must divide evenly "
-                f"across {n_proc} processes"
+                f"across the {n_dev}-device mesh ({n_proc} processes)"
             )
         # each process loads its strided shard of the dataset and feeds
         # its slice of the global batch (shard_batch assembles the rest)
@@ -159,18 +162,41 @@ def main(argv=None) -> None:
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
         num_devices=args.num_devices, grad_accum=args.grad_accum,
     )
+    import jax
+
     preempt_ckpt = os.path.join(args.out_dir, "preempt.ckpt")
+    resume_preempt = os.path.exists(preempt_ckpt)
+    if jax.process_count() > 1:
+        # every process must make the same resume decision, and the
+        # checkpoint (written by process 0) must be readable everywhere
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        resume_preempt = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(os.path.exists(preempt_ckpt))
+        ))
+        if resume_preempt and not os.path.exists(preempt_ckpt):
+            raise SystemExit(
+                f"{preempt_ckpt} exists on process 0 but not here: "
+                "multi-host auto-resume requires the checkpoint "
+                "directory on shared storage"
+            )
     if args.pretrained_path and args.pretrained_path.endswith(".ckpt"):
         trainer.restore(args.pretrained_path)
         print(f"INFO: resumed from {args.pretrained_path} "
               f"at epoch {trainer.epoch}")
-    elif os.path.exists(preempt_ckpt):
+    elif resume_preempt:
         # a preemption checkpoint from a killed run: pick up where it
         # left off (the interrupted epoch re-runs in full). Consumed on
         # restore — otherwise every later run in this out_dir would
         # silently resume from stale state. A second preemption writes a
         # fresh one; periodic epoch_N.ckpt files cover crashes between.
         trainer.restore(preempt_ckpt)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # nobody deletes until everyone has restored
+            multihost_utils.sync_global_devices("preempt-restore")
         if trainer.is_main_process:
             os.remove(preempt_ckpt)
         print(f"INFO: auto-resumed from {preempt_ckpt} "

@@ -359,11 +359,7 @@ class BatchLoader:
                 except queue.Empty:
                     return
                 try:
-                    items = [self.dataset[int(i)] for i in idxs]
-                    stacked = tuple(
-                        np.stack([it[f] for it in items])
-                        for f in range(len(items[0]))
-                    )
+                    stacked = _stack_items(self.dataset, idxs)
                 except Exception as e:  # noqa: BLE001
                     # a corrupt sample must fail the consumer, not
                     # silently hang it on done.get() forever
@@ -407,7 +403,18 @@ class BatchLoader:
         results = {}
         next_bi = 0
         while next_bi < len(batches):
-            got_epoch, bi, out = self._done.get()
+            try:
+                got_epoch, bi, out = self._done.get(timeout=5.0)
+            except queue.Empty:
+                # liveness: a worker killed hard (OOM, native crash)
+                # never enqueues its result — fail instead of hanging
+                dead = [p for p in self._pool if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(
+                        f"{len(dead)} loader worker(s) died "
+                        f"(exitcode {dead[0].exitcode})"
+                    )
+                continue
             if got_epoch != epoch_key:
                 # stale result from an epoch abandoned mid-iteration
                 # (e.g. training preempted): drop it

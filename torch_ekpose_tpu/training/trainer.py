@@ -114,6 +114,23 @@ class Trainer:
         self.best_val = float("inf")
         self.train_curve = {"train": [], "val": []}
         self.preempted = False
+        self._n_processes = jax.process_count()
+
+    def _sync_preempted(self) -> bool:
+        """Consensus preemption flag. Multi-host processes receive
+        SIGTERM at slightly different times; if each stopped at its own
+        batch boundary the others would hang in the next collective
+        step, so the flag is agreed on (global OR) at every point the
+        loop may break. Single-process: just the local flag."""
+        if self._n_processes > 1:
+            from jax.experimental import multihost_utils
+
+            self.preempted = bool(np.any(
+                multihost_utils.process_allgather(
+                    np.asarray(self.preempted)
+                )
+            ))
+        return self.preempted
 
     # -- epoch loops -----------------------------------------------------
 
@@ -130,7 +147,7 @@ class Trainer:
         n_seen = 0
         n_batches = 0
         for batch in loader:
-            if self.preempted:
+            if self._sync_preempted():
                 break
             data_time.update(time.time() - end)
             batch = shard_batch(self.mesh, batch)
@@ -213,7 +230,7 @@ class Trainer:
             ):
                 train_loader.dataset.reseed(tc.seed + epoch)
             train_loss = self._run_epoch(train_loader, train=True)
-            if self.preempted:
+            if self._sync_preempted():
                 # partial epoch: checkpoint everything but mark THIS
                 # epoch as the resume point so it is re-run in full
                 path = os.path.join(self.out_dir, "preempt.ckpt")
@@ -225,7 +242,7 @@ class Trainer:
                 self._run_epoch(val_loader, train=False)
                 if val_loader is not None else train_loss
             )
-            if self.preempted:
+            if self._sync_preempted():
                 # preempted during validation: the partial val loss must
                 # not reach the scheduler / best-checkpoint logic; the
                 # whole epoch re-runs on resume
