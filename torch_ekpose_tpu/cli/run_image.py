@@ -5,8 +5,9 @@
     python -m torch_ekpose_tpu.cli.run_image --input-dir demo/ \
         --output-dir demo/outputs/
 
-``--analyze`` additionally renders heatmap / PAF-x / PAF-y overlays in a
-2x2 grid (reference run_image.py:64-109).
+``--analyze`` renders heatmap / PAF-x / PAF-y overlays in a 2x2 grid
+instead of the skeleton image (reference run_image.py:33-40,64-109 —
+same either/or behavior).
 """
 
 from __future__ import annotations
