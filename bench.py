@@ -74,6 +74,30 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
         paf, heatmap = forward(variables, frames, tweak)
         return packed_decoder(heatmap, paf)
 
+    # decode-kernel certification on the SAME device the bench runs on:
+    # the grid-batched Pallas match/merge decoder must reproduce the numpy
+    # oracle exactly on synthetic multi-person scenes. The CI suite can
+    # only run these kernels in interpret/fallback mode on CPU; this is
+    # the check that each recorded bench result also certifies the real
+    # TPU kernels (scenes from decode/synthetic.py, the same generator
+    # scripts/tpu_parity_check.py uses).
+    from torch_ekpose_tpu.decode import device as decode_dev, oracle
+    from torch_ekpose_tpu.decode.synthetic import canonical_humans, synth_scene
+
+    prng = np.random.default_rng(7)
+    scenes = [synth_scene(prng, int(prng.integers(1, 5))) for _ in range(4)]
+    sh, sw = scenes[0][0].shape[:2]
+    packed = jax.device_get(packed_decoder(
+        jnp.asarray(np.stack([s[0] for s in scenes])),
+        jnp.asarray(np.stack([s[1] for s in scenes])),
+    ))
+    parity_ok = all(
+        canonical_humans(
+            decode_dev.packed_to_humans(packed[i], sh * 8, sw * 8, cfg)
+        ) == canonical_humans(oracle.paf_to_pose_numpy(ht, paf, cfg))
+        for i, (ht, paf) in enumerate(scenes)
+    )
+
     rng = np.random.default_rng(0)
     batches = [
         jnp.asarray(rng.integers(0, 255, (b, h, w, 3)), jnp.uint8)
@@ -104,11 +128,39 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
             raise RuntimeError(f"chain scalar should be 0, got {final}")
         fps = max(fps, n * b / dt)
 
+    # model FLOPs utilization: XLA's own cost analysis of the forward
+    # program (FMA = 2 flops, same convention as the peak specs) against
+    # the chip's bf16 peak. None when the device kind is unrecognized.
+    peaks = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
+        "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12,
+    }
+    mfu = None
+    try:
+        cost = forward.lower(variables, batches[0], tweak).cost_analysis()
+        flops_batch = float((cost or {}).get("flops", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((v for k, v in peaks.items() if k in kind), None)
+        if peak and flops_batch > 0:
+            mfu = round((fps / b) * flops_batch / peak, 4)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "vgg2016 inference+on-device-decode frames/sec/chip @432x368",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 12.0, 2),
+        # the reference publishes no numbers and cannot run in this image
+        # (no GPU, no torchvision); the 12 fps denominator is the commonly
+        # reported desktop-GPU figure for this model family, NOT a
+        # measured-vs-measured ratio (BASELINE.md)
+        "baseline_provisional": True,
+        # exact device-vs-oracle agreement of the Pallas decode kernels on
+        # the chip this bench ran on (see the parity block above)
+        "decode_parity": "ok" if parity_ok else "FAIL",
+        # forward-program model-FLOPs utilization vs the chip's bf16 peak
+        "mfu": mfu,
     }))
 
 

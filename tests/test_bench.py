@@ -18,7 +18,14 @@ def test_bench_main_prints_contract_json(capsys):
     ]
     assert len(lines) == 1
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(payload) == {
+        "metric", "value", "unit", "vs_baseline", "baseline_provisional",
+        "decode_parity", "mfu",
+    }
+    assert payload["baseline_provisional"] is True
+    # on the CPU backend the decoder runs its XLA fallback path; the
+    # bench certifies whichever path the current device executes
+    assert payload["decode_parity"] == "ok"
     assert payload["unit"] == "frames/s"
     assert payload["value"] > 0
     # vs_baseline is rounded to 2 decimals in the output, so compare

@@ -128,6 +128,194 @@ def test_unlabeled_gt_is_ignored(tmp_path):
     assert stats[0] == pytest.approx(1.0)
 
 
+def _person_ann(ann_id, img_id, cx, cy, spread=40.0, **over):
+    """A fully-labeled 17-keypoint person on a deterministic grid."""
+    kp = np.zeros((17, 3))
+    kp[:, 0] = cx + np.linspace(-spread, spread, 17)
+    kp[:, 1] = cy + np.linspace(-spread, spread, 17)[::-1]
+    kp[:, 2] = 2
+    w = kp[:, 0].max() - kp[:, 0].min()
+    h = kp[:, 1].max() - kp[:, 1].min()
+    ann = {
+        "id": ann_id, "image_id": img_id, "category_id": 1,
+        "keypoints": [float(v) for v in kp.reshape(-1)],
+        "num_keypoints": 17, "iscrowd": 0, "area": float(w * h),
+        "bbox": [float(kp[:, 0].min()), float(kp[:, 1].min()),
+                 float(w), float(h)],
+    }
+    ann.update(over)
+    return ann
+
+
+def _det_from(ann, score):
+    kp = np.asarray(ann["keypoints"], dtype=float).reshape(17, 3)
+    kp[:, 2] = 1
+    return {
+        "image_id": ann["image_id"], "category_id": 1,
+        "keypoints": [float(v) for v in kp.reshape(-1)],
+        "score": float(score),
+    }
+
+
+def _dataset(images, annotations):
+    return {
+        "images": [
+            {"id": i, "width": 2000, "height": 2000,
+             "file_name": f"{i:012d}.jpg"}
+            for i in images
+        ],
+        "annotations": annotations,
+        "categories": [{
+            "id": 1, "name": "person",
+            "keypoints": ["nose"] * 17, "skeleton": [],
+        }],
+    }
+
+
+def _run_ids(coco_gt, results, img_ids):
+    ev = COCOKeypointEval(coco_gt, coco_gt.loadRes(results))
+    ev.params.imgIds = img_ids
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize(verbose=False)
+    return ev.stats
+
+
+def test_iscrowd_multi_match_never_counts_against_precision(tmp_path):
+    """pycocotools protocol: an iscrowd=1 gt may be matched by ANY number
+    of detections (gtm is not consumed for crowds), and every detection
+    so matched is ignored — neither TP nor FP. Paper expectation: 1 real
+    TP, 2 crowd-absorbed detections => AP = AR = 1.0 exactly; without
+    crowd semantics the two extras would be FPs at ranks 2-3 and AP < 1."""
+    real = _person_ann(1, 1, 200, 200)
+    crowd = _person_ann(2, 1, 900, 900, iscrowd=1)
+    coco_gt = _gt_coco(_dataset([1], [real, crowd]), tmp_path)
+    results = [
+        _det_from(real, 0.9),
+        _det_from(crowd, 0.8),   # both match the same crowd gt
+        _det_from(crowd, 0.7),
+    ]
+    stats = _run_ids(coco_gt, results, [1])
+    assert stats[0] == pytest.approx(1.0)
+    assert stats[5] == pytest.approx(1.0)
+
+
+def test_zero_keypoint_gt_box_fallback_oks():
+    """k1 == 0: OKS distances fall back to the clamped distance outside
+    the gt box inflated 2x about itself (x in [x0-w, x0+2w]); inside the
+    inflated box every term is exp(0) = 1. Outside, each keypoint term is
+    exp(-d^2 / (2 * area * (2*sigma_i)^2)) — computed here on paper from
+    the published COCO sigmas."""
+    gt = {
+        "keypoints": [0.0] * 51, "num_keypoints": 0,
+        "bbox": [100.0, 100.0, 40.0, 40.0], "area": 1600.0,
+    }
+    inside = {"keypoints": [120.0, 120.0, 1.0] * 17}
+    # 20 px right of the inflated box's x1 = 100 + 2*40 = 180; y inside
+    outside = {"keypoints": [200.0, 120.0, 1.0] * 17}
+    ious = compute_oks([gt], [inside, outside])  # [n_dt, n_gt]
+    assert ious[0, 0] == pytest.approx(1.0)
+    sigmas = [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072,
+              0.072, 0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089,
+              0.089]
+    expected = np.mean([
+        np.exp(-(20.0 ** 2) / ((2 * s) ** 2 * (1600.0 + np.spacing(1)) * 2))
+        for s in sigmas
+    ])
+    assert ious[1, 0] == pytest.approx(float(expected), rel=1e-9)
+
+
+def test_zero_keypoint_crowd_region_absorbs_inside_dets_only(tmp_path):
+    """End-to-end consequence of the box fallback: a detection inside a
+    zero-keypoint crowd region is absorbed (ignored); a detection outside
+    it is a plain FP. Paper expectation: absorbed => AP 1.0 from the one
+    real TP; FP outranking the TP => precision curve [0, 1/2] whose
+    envelope is flat 0.5 => AP 0.5."""
+    region = {
+        "id": 1, "image_id": 1, "category_id": 1,
+        "keypoints": [0.0] * 51, "num_keypoints": 0, "iscrowd": 1,
+        "area": 1600.0, "bbox": [100.0, 100.0, 40.0, 40.0],
+    }
+    real = _person_ann(2, 2, 300, 300)
+    coco_gt = _gt_coco(_dataset([1, 2], [region, real]), tmp_path)
+
+    def at(x, y, score):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = x + np.linspace(0, 30, 17)
+        kp[:, 1] = y + np.linspace(0, 30, 17)
+        kp[:, 2] = 1
+        return {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": score}
+
+    tp = _det_from(real, 0.8)
+    absorbed = _run_ids(coco_gt, [at(110, 110, 0.9), tp], [1, 2])
+    fp = _run_ids(coco_gt, [at(1500, 1500, 0.9), tp], [1, 2])
+    assert absorbed[0] == pytest.approx(1.0)
+    assert fp[0] == pytest.approx(0.5)
+
+
+def test_max_dets_truncation_drops_rank_21(tmp_path):
+    """Detections are truncated to the 20 highest-scored BEFORE matching.
+    24 junk detections outrank the only correct one => it is cut and
+    recall is exactly 0; flip the scores so the correct one ranks first
+    and AP/AR are exactly 1 (the 19 surviving junk FPs sit below the TP,
+    so the interpolated precision envelope at every recall level is 1)."""
+    real = _person_ann(1, 1, 200, 200)
+    coco_gt = _gt_coco(_dataset([1], [real]), tmp_path)
+
+    def junk(score):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = 1500 + np.linspace(0, 50, 17)
+        kp[:, 1] = 1500 + np.linspace(0, 50, 17)
+        kp[:, 2] = 1
+        return {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": score}
+
+    junks = [junk(0.99 - 0.01 * i) for i in range(24)]
+    cut = _run_ids(coco_gt, junks + [_det_from(real, 0.5)], [1])
+    assert cut[0] == pytest.approx(0.0, abs=1e-9)
+    assert cut[5] == pytest.approx(0.0, abs=1e-9)
+    kept = _run_ids(coco_gt, junks + [_det_from(real, 1.0)], [1])
+    assert kept[0] == pytest.approx(1.0)
+    assert kept[5] == pytest.approx(1.0)
+
+
+def test_score_tie_order_is_image_order_stable(tmp_path):
+    """Equal-score detections sort by the stable mergesort pycocotools
+    uses, i.e. concatenation order = params.imgIds order. A TP and an FP
+    with identical scores therefore swap ranks when the image order
+    swaps. Paper expectation: TP first => AP 1.0; FP first => precision
+    [0, 1/2], envelope 0.5 everywhere => AP 0.5."""
+    real = _person_ann(1, 1, 200, 200)
+    coco_gt = _gt_coco(_dataset([1, 2], [real]), tmp_path)
+    fp_det = dict(_det_from(real, 0.5), image_id=2)
+    results = [_det_from(real, 0.5), fp_det]
+    assert _run_ids(coco_gt, results, [1, 2])[0] == pytest.approx(1.0)
+    assert _run_ids(coco_gt, results, [2, 1])[0] == pytest.approx(0.5)
+
+
+def test_area_range_boundaries_are_inclusive(tmp_path):
+    """pycocotools keeps a gt when aRng[0] <= area <= aRng[1]: a person
+    with area exactly 96^2 belongs to BOTH medium and large; exactly 32^2
+    is medium; 32^2 - 1 is out of medium entirely, leaving that range
+    with no gt and no counted detection => sentinel -1."""
+    def with_area(area, img_id, ann_id):
+        return _person_ann(ann_id, img_id, 500, 500, area=float(area))
+
+    for area, ap_medium, ap_large in [
+        (96 ** 2, 1.0, 1.0),
+        (32 ** 2, 1.0, -1.0),
+        (32 ** 2 - 1, -1.0, -1.0),
+    ]:
+        gt = with_area(area, 1, 1)
+        coco_gt = _gt_coco(_dataset([1], [gt]), tmp_path)
+        stats = _run_ids(coco_gt, [_det_from(gt, 0.9)], [1])
+        assert stats[3] == pytest.approx(ap_medium), area
+        assert stats[4] == pytest.approx(ap_large), area
+
+
 def test_oks_matrix_basics():
     gt = {
         "keypoints": [100.0, 100.0, 2] * 17,

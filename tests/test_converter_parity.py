@@ -25,27 +25,55 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _vgg19_features_standin():
+    """A faithful plain-torch stand-in for ``torchvision.models.vgg19()``:
+    the public VGG19 configuration-E feature plan (convs 3x3 pad 1 + ReLU,
+    'M' = 2x2 max-pool). The reference only consumes
+    ``models.vgg19().features.children()[:23]``
+    (reference lib/network/vgg2016.py:14-15), so an object exposing a
+    structurally identical ``.features`` Sequential is sufficient — and
+    makes the reference OpenPose2016 constructible without torchvision."""
+    import torch.nn as nn
+
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+            512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers, in_ch = [], 3
+    for v in plan:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers.append(nn.Conv2d(in_ch, v, kernel_size=3, padding=1))
+            layers.append(nn.ReLU(inplace=True))
+            in_ch = v
+    return types.SimpleNamespace(features=nn.Sequential(*layers))
+
+
 @pytest.fixture(scope="module")
 def reference_modules():
-    """Import reference network modules with torchvision stubbed out (the
-    DS models import it at module level but only vgg2016 uses it)."""
+    """Import reference network modules with torchvision stubbed out —
+    including a functional ``models.vgg19`` so the flagship vgg2016 is
+    constructible and numerically testable."""
     if "torchvision" not in sys.modules:
         stub = types.ModuleType("torchvision")
         stub.models = types.ModuleType("torchvision.models")
+        stub.models.vgg19 = lambda **kw: _vgg19_features_standin()
         sys.modules["torchvision"] = stub
+        sys.modules["torchvision.models"] = stub.models
     sys.path.insert(0, REFERENCE)
     try:
-        from lib.network import mobilenet, mobilenetV2, shufflenetV2
+        from lib.network import mobilenet, mobilenetV2, shufflenetV2, vgg2016
     finally:
         sys.path.remove(REFERENCE)
     return {
         "mobilenet": mobilenet,
         "mobilenetV2": mobilenetV2,
         "shufflenetV2": shufflenetV2,
+        "vgg2016": vgg2016,
     }
 
 
 CASES = [
+    ("vgg2016", "vgg2016", {}),
     ("mobilenet", "mobilenet", dict(conv_width=1.0, conv_width2=1.0)),
     ("mobilenet_thin", "mobilenet", dict(conv_width=0.75, conv_width2=0.50)),
     ("mobilenetV2", "mobilenetV2", dict(conv_width=1.0, conv_width2=1.0)),

@@ -135,17 +135,31 @@ def _line_integral_scores(
     """Dot products of the unit limb direction with the PAF at ``n_steps``
     samples from (ax, ay) to (bx, by), all in upsampled int coordinates.
     Sampling the x``stride`` nearest-upsampled PAF at location L equals
-    indexing the low-res PAF at L // stride."""
+    indexing the low-res PAF at L // stride.
+
+    All arithmetic is float32, mirroring the reference C++ step by step
+    (pafprocess.cpp:56-83, 220-242): near-tie candidate scores otherwise
+    sort differently than the reference's, reordering person rows.
+    """
     h, w = pafs.shape[:2]
-    dx, dy = float(bx - ax), float(by - ay)
-    norm = np.sqrt(dx * dx + dy * dy)
+    f32 = np.float32
+    dx, dy = f32(bx - ax), f32(by - ay)
+    # vec.x*vec.x + vec.y*vec.y is exact for int coords < 2^12; sqrtf is
+    # correctly rounded in both C and numpy
+    norm = np.sqrt(f32((bx - ax) * (bx - ax) + (by - ay) * (by - ay)))
     ux, uy = dx / norm, dy / norm
-    i = np.arange(n_steps, dtype=np.float64)
-    lx = (ax + i * (dx / n_steps) + 0.5).astype(np.int64)
-    ly = (ay + i * (dy / n_steps) + 0.5).astype(np.int64)
+    i = np.arange(n_steps, dtype=f32)
+    step_x = dx / f32(n_steps)                  # (peak2.x-peak1.x)/float(n)
+    step_y = dy / f32(n_steps)
+    # roundpaf(v) = (int)(v + 0.5) with v float, 0.5 double (pafprocess
+    # .cpp:240-242); positions are non-negative so trunc == floor
+    lx = (np.float64(f32(ax) + i * step_x) + 0.5).astype(np.int64)
+    ly = (np.float64(f32(ay) + i * step_y) + 0.5).astype(np.int64)
     gx = np.clip(lx // stride, 0, w - 1)
     gy = np.clip(ly // stride, 0, h - 1)
-    return pafs[gy, gx, ch_x] * ux + pafs[gy, gx, ch_y] * uy
+    px = np.asarray(pafs, dtype=f32)[gy, gx, ch_x]
+    py = np.asarray(pafs, dtype=f32)[gy, gx, ch_y]
+    return px * ux + py * uy                    # f32 per-sample dots
 
 
 def decode(
@@ -210,9 +224,22 @@ def decode(
                     pafs, ax, ay, bx, by, ch_x, ch_y, stride, n_steps
                 )
                 criterion1 = int(
-                    np.count_nonzero(dots > config.TEST.THRESH_PAF)
+                    np.count_nonzero(dots > np.float32(config.TEST.THRESH_PAF))
                 )
-                score = float(dots.mean()) + min(0.0, 0.5 * up_h / norm - 1.0)
+                # sequential f32 accumulation, then f32 / int division, then
+                # the double min-term, narrowed back to f32 — the reference's
+                # exact expression tree (pafprocess.cpp:72-83: `scores +=
+                # score; ... scores / STEP_PAF + min(...)` into a float)
+                acc = np.float32(0.0)
+                for d in dots:
+                    acc += d
+                norm32 = np.sqrt(np.float32(
+                    (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+                ))
+                score = float(np.float32(
+                    np.float64(acc / np.float32(n_steps))
+                    + min(0.0, 0.5 * up_h / float(norm32) - 1.0)
+                ))
                 if criterion1 > config.TEST.THRESH_VECTOR_CNT1 and score > 0:
                     candidates.append((score, ia, ib))
         candidates.sort(key=lambda c: c[0], reverse=True)

@@ -120,12 +120,15 @@ class COCOKeypointEval:
 
     def _evaluate_img(self, gts, dts, ious, area_rng):
         n_t = len(self.iou_thrs)
+        # dtype pinned: an image with zero ground truths must not default
+        # the empty array to float (breaking the boolean ops below)
         gt_ig_base = np.array(
             [
                 g["_ignore"] or g["area"] < area_rng[0]
                 or g["area"] > area_rng[1]
                 for g in gts
-            ]
+            ],
+            dtype=bool,
         )
         order = np.argsort(gt_ig_base, kind="mergesort")  # ignores last
         gts = [gts[i] for i in order]
