@@ -64,6 +64,11 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         help="pin the jax backend (the reference's --device flag; no "
         "-d short form — that's taken by --datasets in train/eval)",
     )
+    parser.add_argument(
+        "--dest-size", type=int, default=368,
+        help="inference resolution: the long image side is resized to "
+        "this before padding (the reference hard-codes 368)",
+    )
 
 
 def load_variables(model_name: str, ckpt: Optional[str]):
@@ -94,4 +99,5 @@ def build_estimator(
         compute_dtype=(
             jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         ),
+        dest_size=getattr(args, "dest_size", 368),
     )

@@ -134,7 +134,39 @@ def main(argv=None) -> None:
     ):
         variables = common.load_variables(args.model, args.pretrained_path)
 
-    if args.warmup_epochs:
+    # Resume decisions are made up front: when the main run will restore a
+    # full-state checkpoint (explicit *.ckpt or an auto-resume
+    # preempt.ckpt), re-running warmup would only produce parameters that
+    # restore() immediately discards.
+    preempt_ckpt = os.path.join(args.out_dir, "preempt.ckpt")
+    resume_explicit = bool(
+        args.pretrained_path and args.pretrained_path.endswith(".ckpt")
+    )
+
+    def _preempt_ckpt_exists() -> bool:
+        # multi-host: every process must agree, and shared storage can lag
+        # behind process 0's write — process 0's view is authoritative
+        # (the same consensus the auto-resume branch below uses)
+        import jax
+
+        exists = os.path.exists(preempt_ckpt)
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            exists = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(exists)
+            ))
+        return exists
+
+    will_restore = resume_explicit or _preempt_ckpt_exists()
+
+    if args.warmup_epochs and will_restore:
+        print(
+            "INFO: skipping warmup: the main run restores a full-state "
+            "checkpoint that would overwrite its result"
+        )
+    if args.warmup_epochs and not will_restore:
         print(f"INFO: {args.warmup_epochs}-epoch frozen-backbone warmup")
         # own out_dir: the frozen-backbone opt_state (multi_transform) is
         # structurally different from the main run's, so its preempt.ckpt
@@ -164,7 +196,6 @@ def main(argv=None) -> None:
     )
     import jax
 
-    preempt_ckpt = os.path.join(args.out_dir, "preempt.ckpt")
     resume_preempt = os.path.exists(preempt_ckpt)
     if jax.process_count() > 1:
         # every process must make the same resume decision, and the
@@ -181,10 +212,18 @@ def main(argv=None) -> None:
                 "multi-host auto-resume requires the checkpoint "
                 "directory on shared storage"
             )
-    if args.pretrained_path and args.pretrained_path.endswith(".ckpt"):
+    if resume_explicit:
         trainer.restore(args.pretrained_path)
         print(f"INFO: resumed from {args.pretrained_path} "
               f"at epoch {trainer.epoch}")
+        if resume_preempt:
+            # an explicit resume supersedes the stale preemption state; if
+            # left on disk, a LATER run in this out_dir would silently
+            # auto-resume from it
+            if trainer.is_main_process:
+                os.remove(preempt_ckpt)
+            print(f"WARNING: removed stale {preempt_ckpt} "
+                  "(superseded by --pretrained_path)")
     elif resume_preempt:
         # a preemption checkpoint from a killed run: pick up where it
         # left off (the interrupted epoch re-runs in full). Consumed on

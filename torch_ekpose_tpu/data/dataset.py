@@ -267,10 +267,14 @@ class BatchLoader:
             raise ValueError(f"unknown loader mode {mode!r}")
         if not (0 <= shard[0] < shard[1]):
             raise ValueError(f"invalid shard {shard!r}")
+        if num_workers < 0:
+            raise ValueError(f"num_workers must be >= 0, got {num_workers}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.num_workers = max(1, num_workers)
+        # 0 = load synchronously in the calling process (torch DataLoader
+        # semantics); neither worker pool is ever started then
+        self.num_workers = num_workers
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
@@ -340,6 +344,12 @@ class BatchLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.num_workers == 0:
+            # synchronous in-process loading, either mode
+            for idxs in batches:
+                yield _stack_items(self.dataset, idxs)
+            return
 
         if self.mode == "process":
             yield from self._iter_process(batches)

@@ -106,6 +106,10 @@ class Trainer:
         # process 0 owns the filesystem artifacts (metrics, checkpoints,
         # curve PNG)
         self.is_main_process = jax.process_index() == 0
+        if self.is_main_process:
+            # the training curve PNG lands here after the FIRST epoch,
+            # before any checkpoint has created the directory
+            os.makedirs(out_dir, exist_ok=True)
         self.metrics = (
             MetricsWriter(log_dir) if self.is_main_process
             else _NullMetrics()
@@ -115,6 +119,13 @@ class Trainer:
         self.train_curve = {"train": [], "val": []}
         self.preempted = False
         self._n_processes = jax.process_count()
+        # Multi-host preemption consensus cadence (in batches). The
+        # allgather is a blocking collective that enqueues behind every
+        # dispatched train step, so running it per batch would stall the
+        # pipeline it exists to protect; every host runs it at the same
+        # deterministic batch indices instead, and all hosts break at the
+        # next agreed boundary together.
+        self.preempt_sync_every = 16
 
     def _sync_preempted(self) -> bool:
         """Consensus preemption flag. Multi-host processes receive
@@ -147,7 +158,16 @@ class Trainer:
         n_seen = 0
         n_batches = 0
         for batch in loader:
-            if self._sync_preempted():
+            # single process: the local flag is free, check every batch.
+            # multi-host: only the deterministic cadence points may run
+            # the consensus collective (a host-local extra allgather
+            # would deadlock the other hosts), so the local flag alone
+            # never breaks the loop here.
+            if self._n_processes == 1:
+                if self.preempted:
+                    break
+            elif (n_batches % self.preempt_sync_every == 0
+                    and self._sync_preempted()):
                 break
             data_time.update(time.time() - end)
             batch = shard_batch(self.mesh, batch)
@@ -205,6 +225,16 @@ class Trainer:
         prev_handlers = {}
         if threading.current_thread() is threading.main_thread():
             def _on_signal(signum, frame):
+                if self.preempted:
+                    # second signal: the user wants out NOW, not at the
+                    # next batch boundary — restore the previous handler
+                    # and re-deliver so Ctrl-C force-aborts even inside
+                    # a hung batch or collective
+                    signal.signal(
+                        signum, prev_handlers.get(signum, signal.SIG_DFL)
+                    )
+                    signal.raise_signal(signum)
+                    return
                 self.preempted = True
 
             for sig in (signal.SIGTERM, signal.SIGINT):
