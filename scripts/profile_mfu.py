@@ -1,0 +1,242 @@
+"""Per-segment MFU profile of the vgg2016 forward, plus candidate
+implementations of the dominant 7x7 CPM stack measured side by side.
+
+VERDICT round-1 #4: forward sits at ~57-68% of v5e bf16 peak and the five
+7x7x128 convs per branch per stage (reference lib/network/vgg2016.py:54-76)
+dominate; this script localizes where the cycles go (backbone vs stage-1 vs
+refinement stages) using XLA's own cost analysis for the FLOP numerator,
+then times numerically-exact variants of the 7x7 stack:
+
+  v0 conv-nhwc   the production path (lax conv via flax ConvBlock layout)
+  v1 pad192      stage input concat is 185ch (38+19+128); pad activations
+                 AND kernel input rows with zeros to 192 (1.5 MXU tiles) —
+                 exact, changes only XLA's tiling
+  v2 im2col      explicit patch-extraction matmul: [B*H*W, 49*128] x
+                 [49*128, 128] so the MXU sees one big GEMM per conv
+  v3 shifts      7x7 conv as a sum of 49 shifted 1x1 contractions (the
+                 trick that won 6.7x on the PAF line integral)
+  v4 nchw        feature-dim-last -> feature-dim-second layout
+
+Run on the real chip: python scripts/profile_mfu.py [--trace /tmp/trace]
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PEAKS = {
+    "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
+    "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12,
+}
+
+
+def peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    return next((v for k, v in PEAKS.items() if k in kind), None)
+
+
+def bench(fn, *args, n=30):
+    """Median seconds per call, compile excluded."""
+    fn = jax.jit(fn)
+    r = jax.block_until_ready(fn(*args))
+    del r
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        times.append((time.perf_counter() - t0) / n)
+    cost = fn.lower(*args).compile().cost_analysis()
+    flops = float((cost or {}).get("flops", 0.0))
+    return min(times), flops
+
+
+def report(name, secs, flops, peak):
+    mfu = flops / secs / peak if peak else float("nan")
+    print(json.dumps({
+        "segment": name, "ms": round(secs * 1e3, 3),
+        "gflop": round(flops / 1e9, 2), "mfu": round(mfu, 3),
+    }), flush=True)
+    return mfu
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--trace", default=None,
+                   help="also write a jax.profiler trace of the full fwd")
+    args = p.parse_args()
+
+    from torch_ekpose_tpu.models import cast_params, init_model
+
+    h, w = 368, 432
+    b = args.batch
+    peak = peak_flops()
+    print(f"# device={jax.devices()[0].device_kind} peak={peak}", flush=True)
+
+    model, variables = init_model(
+        "vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfloat16
+    )
+    variables = cast_params(variables, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, h, w, 3)), jnp.bfloat16)
+
+    # ---- whole forward + per-segment split ----------------------------
+    def full(v, x):
+        (paf, ht), _ = model.apply(v, x, train=False)
+        return paf, ht
+
+    secs, flops = bench(full, variables, x)
+    report("full-forward", secs, flops, peak)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(jax.jit(full)(variables, x))
+        print(f"# trace written to {args.trace}", flush=True)
+
+    # backbone alone
+    bb = model.backbone(name="model0")
+    bb_vars = {"params": variables["params"]["model0"]}
+    secs, flops = bench(lambda v, x: bb.apply(v, x), bb_vars, x)
+    report("backbone", secs, flops, peak)
+
+    # one refinement stage (both branches) on the real concat shape
+    feats = jax.jit(lambda v, x: bb.apply(v, x))(bb_vars, x)
+    fh, fw = feats.shape[1:3]
+    cat = jnp.concatenate(
+        [jnp.zeros((b, fh, fw, 57), jnp.bfloat16), feats], axis=-1
+    )
+    head = model.head(name="head")
+    head_vars = {"params": variables["params"]["head"]}
+    s2 = {"params": {
+        "model2_1": head_vars["params"]["model2_1"],
+        "model2_2": head_vars["params"]["model2_2"],
+    }}
+
+    from torch_ekpose_tpu.models.heads import VggBranch
+
+    def one_stage(v, cat):
+        paf = VggBranch(38, first_stage=False, dtype=jnp.bfloat16,
+                        name="model2_1").apply(
+            {"params": v["params"]["model2_1"]}, cat)
+        ht = VggBranch(19, first_stage=False, dtype=jnp.bfloat16,
+                       name="model2_2").apply(
+            {"params": v["params"]["model2_2"]}, cat)
+        return paf, ht
+
+    secs, flops = bench(one_stage, s2, cat)
+    report("one-7x7-stage(2br)", secs, flops, peak)
+
+    # ---- variants of the 5x(7x7,128) stack ----------------------------
+    kr = jax.random.PRNGKey(0)
+    ks = [jax.random.normal(jax.random.fold_in(kr, i),
+                            (7, 7, 128, 128), jnp.bfloat16) * 0.05
+          for i in range(5)]
+    k0 = jax.random.normal(jax.random.fold_in(kr, 99),
+                           (7, 7, 185, 128), jnp.bfloat16) * 0.05
+    xin = jnp.asarray(
+        rng.standard_normal((b, fh, fw, 185)), jnp.bfloat16
+    )
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(x, k, dims=dn):
+        return jax.nn.relu(jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(3, 3)] * 2, dimension_numbers=dims))
+
+    def v0(x):
+        x = conv(x, k0)
+        for k in ks:
+            x = conv(x, k)
+        return x
+
+    secs, flops = bench(v0, xin)
+    base = secs
+    report("stack-v0-conv", secs, flops, peak)
+
+    # v1: zero-pad the 185-channel entry conv to 192 in both operands
+    xpad = jnp.pad(xin, ((0, 0), (0, 0), (0, 0), (0, 7)))
+    k0pad = jnp.pad(k0, ((0, 0), (0, 0), (0, 7), (0, 0)))
+
+    def v1(x):
+        x = conv(x, k0pad)
+        for k in ks:
+            x = conv(x, k)
+        return x
+
+    secs, flops = bench(v1, xpad)
+    report("stack-v1-pad192", secs, flops, peak)
+    print(f"# v1 exact: "
+          f"{bool(jnp.allclose(v0(xin), v1(xpad), atol=1e-2))}", flush=True)
+
+    # v2: im2col GEMM for the 128->128 convs
+    def im2col_conv(x, k):
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        patches = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(xp, dy, fh, 1), dx, fw, 2)
+            for dy in range(7) for dx in range(7)
+        ], axis=-2)                       # [B, H, W, 49, C]
+        flat = patches.reshape(x.shape[0], fh, fw, 49 * k.shape[2])
+        kf = k.reshape(49 * k.shape[2], k.shape[3])
+        return jax.nn.relu(flat @ kf)
+
+    def v2(x):
+        x = conv(x, k0)
+        for k in ks:
+            x = im2col_conv(x, k)
+        return x
+
+    secs, flops = bench(v2, xin)
+    report("stack-v2-im2col", secs, flops, peak)
+    print(f"# v2 close: "
+          f"{bool(jnp.allclose(v0(xin), v2(xin), atol=1e-1))}", flush=True)
+
+    # v3: 49 shifted pointwise contractions
+    def shift_conv(x, k):
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        acc = None
+        for dy in range(7):
+            for dx in range(7):
+                sl = jax.lax.dynamic_slice(
+                    xp, (0, dy, dx, 0), (x.shape[0], fh, fw, k.shape[2]))
+                t = sl @ k[dy, dx]
+                acc = t if acc is None else acc + t
+        return jax.nn.relu(acc)
+
+    def v3(x):
+        x = conv(x, k0)
+        for k in ks:
+            x = shift_conv(x, k)
+        return x
+
+    secs, flops = bench(v3, xin)
+    report("stack-v3-shifts", secs, flops, peak)
+
+    # v4: NCHW activations
+    dims_nchw = ("NCHW", "OIHW", "NCHW")
+    xin_c = jnp.transpose(xin, (0, 3, 1, 2))
+    k0_c = jnp.transpose(k0, (3, 2, 0, 1))
+    ks_c = [jnp.transpose(k, (3, 2, 0, 1)) for k in ks]
+
+    def v4(x):
+        x = conv(x, k0_c, dims_nchw)
+        for k in ks_c:
+            x = conv(x, k, dims_nchw)
+        return x
+
+    secs, flops = bench(v4, xin_c)
+    report("stack-v4-nchw", secs, flops, peak)
+
+    print(f"# baseline stack ms: {base * 1e3:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
