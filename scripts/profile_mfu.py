@@ -72,13 +72,19 @@ def report(name, secs, flops, peak):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--height", type=int, default=368)
+    p.add_argument("--width", type=int, default=432)
+    p.add_argument("--cpu", action="store_true",
+                   help="smoke-test the script on the CPU backend")
     p.add_argument("--trace", default=None,
                    help="also write a jax.profiler trace of the full fwd")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from torch_ekpose_tpu.models import cast_params, init_model
 
-    h, w = 368, 432
+    h, w = args.height, args.width
     b = args.batch
     peak = peak_flops()
     print(f"# device={jax.devices()[0].device_kind} peak={peak}", flush=True)
@@ -171,10 +177,15 @@ def main():
             x = conv(x, k)
         return x
 
+    def rel_close(a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        scale = float(jnp.abs(a).max()) or 1.0
+        return bool(jnp.abs(a - b).max() / scale < 2e-2)
+
     secs, flops = bench(v1, xpad)
     report("stack-v1-pad192", secs, flops, peak)
-    print(f"# v1 exact: "
-          f"{bool(jnp.allclose(v0(xin), v1(xpad), atol=1e-2))}", flush=True)
+    print(f"# v1 close: {rel_close(v0(xin), v1(xpad))}", flush=True)
 
     # v2: im2col GEMM for the 128->128 convs
     def im2col_conv(x, k):
@@ -196,8 +207,7 @@ def main():
 
     secs, flops = bench(v2, xin)
     report("stack-v2-im2col", secs, flops, peak)
-    print(f"# v2 close: "
-          f"{bool(jnp.allclose(v0(xin), v2(xin), atol=1e-1))}", flush=True)
+    print(f"# v2 close: {rel_close(v0(xin), v2(xin))}", flush=True)
 
     # v3: 49 shifted pointwise contractions
     def shift_conv(x, k):
