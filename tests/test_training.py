@@ -306,3 +306,44 @@ def test_data_parallel_matches_single_device(small_model):
     np.testing.assert_allclose(loss_8, loss_1, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_train_step_tracks_fp32(small_model):
+    """Mixed-precision training (--dtype bfloat16): bf16 activations,
+    fp32 params/moments/loss. The first-step loss must agree with fp32
+    to bf16 precision and training must still make progress."""
+    model_f32, variables = small_model
+    model_bf16 = get_model("vgg2016", dtype=jnp.bfloat16)
+    mesh = make_mesh(4)
+
+    rng = np.random.default_rng(1)
+    images = rng.normal(0, 1, (4, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((4, 4, 18, 3), dtype=np.float32)
+    kpts[:, 0, :, 0] = rng.uniform(10, 54, (4, 18))
+    kpts[:, 0, :, 1] = rng.uniform(10, 54, (4, 18))
+    kpts[:, 0, :, 2] = 2
+    batch = shard_batch(mesh, (images, kpts))
+
+    losses = {}
+    for name, model in (("f32", model_f32), ("bf16", model_bf16)):
+        tx = make_optimizer(1e-4, 5e-4)
+        state = jax.device_put(
+            create_train_state(model, variables, tx), replicated(mesh)
+        )
+        step = make_train_step(model, targets="device", grid=GRID)
+        series = []
+        for _ in range(2):
+            state, logs = step(state, *batch)
+            series.append(float(logs["Loss"]))
+        losses[name] = series
+        # params and optimizer moments stay fp32 regardless of dtype
+        assert state.params["model0"]["conv_0"]["conv"][
+            "kernel"].dtype == jnp.float32
+        leaves = jax.tree.leaves(state.opt_state)
+        assert all(
+            leaf.dtype != jnp.bfloat16 for leaf in leaves
+            if hasattr(leaf, "dtype")
+        )
+    assert losses["bf16"][-1] < losses["bf16"][0]
+    rel = abs(losses["bf16"][0] - losses["f32"][0]) / losses["f32"][0]
+    assert rel < 0.05, (losses["bf16"][0], losses["f32"][0])

@@ -48,6 +48,12 @@ def main(argv=None) -> None:
                         "reference's batch-128 recipe on few chips)")
     parser.add_argument("--targets", type=str, default="device",
                         choices=["device", "host"])
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="activation/compute dtype for the train step; "
+                        "bfloat16 runs the conv matmuls at full MXU rate "
+                        "while params, optimizer moments, and the loss "
+                        "stay float32")
     parser.add_argument("--pretrained_path", type=str, default=None,
                         help="resume checkpoint (.ckpt) or reference .pth")
     parser.add_argument("--warmup_epochs", type=int, default=0,
@@ -128,6 +134,12 @@ def main(argv=None) -> None:
     train_loader = make_loader("train", True)
     val_loader = make_loader("val", False)
 
+    import jax.numpy as jnp
+
+    compute_dtype = (
+        jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    )
+
     variables = None
     if args.pretrained_path and args.pretrained_path.endswith(
         (".pth", ".pt")
@@ -176,7 +188,7 @@ def main(argv=None) -> None:
             out_dir=os.path.join(args.out_dir, "warmup"),
             log_dir=log_dir, targets=args.targets,
             num_devices=args.num_devices, freeze_backbone=True,
-            grad_accum=args.grad_accum,
+            compute_dtype=compute_dtype, grad_accum=args.grad_accum,
         )
         warmup.fit(
             train_loader, val_loader, epochs=args.warmup_epochs,
@@ -192,7 +204,8 @@ def main(argv=None) -> None:
     trainer = Trainer(
         args.model, config=cfg, variables=variables,
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
-        num_devices=args.num_devices, grad_accum=args.grad_accum,
+        num_devices=args.num_devices, compute_dtype=compute_dtype,
+        grad_accum=args.grad_accum,
     )
     import jax
 
