@@ -128,19 +128,19 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
             raise RuntimeError(f"chain scalar should be 0, got {final}")
         fps = max(fps, n * b / dt)
 
-    # model FLOPs utilization: XLA's own cost analysis of the forward
-    # program (FMA = 2 flops, same convention as the peak specs) against
-    # the chip's bf16 peak. None when the device kind is unrecognized.
-    peaks = {
-        "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
-        "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12,
-    }
+    # model FLOPs utilization: XLA's cost analysis of the OPTIMIZED
+    # forward program (post-compilation, FMA = 2 flops — same convention
+    # as the peak specs) against the chip's bf16 peak. None when the
+    # device kind is unrecognized.
+    from torch_ekpose_tpu.utils.hardware import bf16_peak_flops
+
     mfu = None
     try:
-        cost = forward.lower(variables, batches[0], tweak).cost_analysis()
+        cost = forward.lower(
+            variables, batches[0], tweak
+        ).compile().cost_analysis()
         flops_batch = float((cost or {}).get("flops", 0.0))
-        kind = jax.devices()[0].device_kind.lower()
-        peak = next((v for k, v in peaks.items() if k in kind), None)
+        peak = bf16_peak_flops(jax.devices()[0].device_kind)
         if peak and flops_batch > 0:
             mfu = round((fps / b) * flops_batch / peak, 4)
     except Exception:
@@ -162,6 +162,11 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
         # forward-program model-FLOPs utilization vs the chip's bf16 peak
         "mfu": mfu,
     }))
+    if not parity_ok:
+        # loud like the chain-scalar check: a throughput figure from a
+        # decoder producing wrong poses must not read as a clean result
+        # (the JSON above is still emitted for the record)
+        raise SystemExit("decode parity FAILED on this device")
 
 
 if __name__ == "__main__":

@@ -32,19 +32,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-PEAKS = {
-    "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
-    "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12,
-}
-
-
-def peak_flops():
-    kind = jax.devices()[0].device_kind.lower()
-    return next((v for k, v in PEAKS.items() if k in kind), None)
-
 
 def bench(fn, *args, n=30):
-    """Median seconds per call, compile excluded."""
+    """Best (min over 3 timed groups) seconds per call, compile excluded."""
     fn = jax.jit(fn)
     r = jax.block_until_ready(fn(*args))
     del r
@@ -61,10 +51,10 @@ def bench(fn, *args, n=30):
 
 
 def report(name, secs, flops, peak):
-    mfu = flops / secs / peak if peak else float("nan")
+    mfu = round(flops / secs / peak, 3) if peak else None
     print(json.dumps({
         "segment": name, "ms": round(secs * 1e3, 3),
-        "gflop": round(flops / 1e9, 2), "mfu": round(mfu, 3),
+        "gflop": round(flops / 1e9, 2), "mfu": mfu,
     }), flush=True)
     return mfu
 
@@ -86,7 +76,9 @@ def main():
 
     h, w = args.height, args.width
     b = args.batch
-    peak = peak_flops()
+    from torch_ekpose_tpu.utils.hardware import bf16_peak_flops
+
+    peak = bf16_peak_flops(jax.devices()[0].device_kind)
     print(f"# device={jax.devices()[0].device_kind} peak={peak}", flush=True)
 
     model, variables = init_model(
@@ -120,11 +112,9 @@ def main():
     cat = jnp.concatenate(
         [jnp.zeros((b, fh, fw, 57), jnp.bfloat16), feats], axis=-1
     )
-    head = model.head(name="head")
-    head_vars = {"params": variables["params"]["head"]}
     s2 = {"params": {
-        "model2_1": head_vars["params"]["model2_1"],
-        "model2_2": head_vars["params"]["model2_2"],
+        "model2_1": variables["params"]["head"]["model2_1"],
+        "model2_2": variables["params"]["head"]["model2_2"],
     }}
 
     from torch_ekpose_tpu.models.heads import VggBranch
@@ -244,6 +234,63 @@ def main():
 
     secs, flops = bench(v4, xin_c)
     report("stack-v4-nchw", secs, flops, peak)
+
+    # ---- two-branch stage fusion variants -----------------------------
+    # Both branches of a stage consume the SAME input, so their entry
+    # convs can run as ONE conv with concatenated output channels
+    # (exact); later layers have disjoint inputs and would need
+    # block-diagonal kernels (2x FLOPs). v5 measures entry-only fusion;
+    # v6 measures the full block-diagonal stage — if v6's wall-clock is
+    # close to v0's two-branch cost, the MXU is idle half the time on
+    # 128-channel convs and the whole head should run at 256 channels.
+    kb = [jax.random.normal(jax.random.fold_in(kr, 50 + i),
+                            (7, 7, 128, 128), jnp.bfloat16) * 0.05
+          for i in range(5)]
+    k0b = jax.random.normal(jax.random.fold_in(kr, 98),
+                            (7, 7, 185, 128), jnp.bfloat16) * 0.05
+
+    def two_branch(x):
+        a, bb_ = v0(x), None
+        y = conv(x, k0b)
+        for k in kb:
+            y = conv(y, k)
+        return a, y
+
+    secs, flops = bench(two_branch, xin)
+    report("stage-2br-separate", secs, flops, peak)
+
+    k0f = jnp.concatenate([k0, k0b], axis=-1)         # 185 -> 256
+
+    def v5(x):
+        y = conv(x, k0f)
+        a, bb_ = y[..., :128], y[..., 128:]
+        for k in ks:
+            a = conv(a, k)
+        for k in kb:
+            bb_ = conv(bb_, k)
+        return a, bb_
+
+    secs, flops = bench(v5, xin)
+    report("stage-v5-fused-entry", secs, flops, peak)
+
+    zeros = jnp.zeros_like(ks[0])
+    kf = [jnp.concatenate([
+        jnp.concatenate([ka, zeros], axis=-1),
+        jnp.concatenate([zeros, kc], axis=-1),
+    ], axis=-2) for ka, kc in zip(ks, kb)]            # block-diag 256->256
+
+    def v6(x):
+        y = conv(x, k0f)
+        for k in kf:
+            y = conv(y, k)
+        return y[..., :128], y[..., 128:]
+
+    secs, flops = bench(v6, xin)
+    report("stage-v6-blockdiag256", secs, flops, peak)
+    ra, rb = two_branch(xin)
+    fa, fb = v6(xin)
+    print(f"# v6 close: {rel_close(ra, fa) and rel_close(rb, fb)}",
+          flush=True)
 
     print(f"# baseline stack ms: {base * 1e3:.3f}", flush=True)
 

@@ -21,12 +21,6 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-PEAKS = {
-    "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
-    "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12,
-}
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="vgg2016")
@@ -45,8 +39,10 @@ def main():
 
     s, b = args.size, args.batch
     grid = (s // 8, s // 8)
+    from torch_ekpose_tpu.utils.hardware import bf16_peak_flops
+
     kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in PEAKS.items() if k in kind.lower()), None)
+    peak = bf16_peak_flops(kind)
     print(f"# device={kind} peak={peak}", flush=True)
 
     rng = np.random.default_rng(0)

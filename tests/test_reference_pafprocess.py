@@ -26,6 +26,7 @@ from __future__ import annotations
 import shutil
 import subprocess
 import sys
+import zlib
 
 import numpy as np
 import pytest
@@ -272,7 +273,7 @@ SCENES.append(("border", lambda rng: border_scene()))
 
 @pytest.mark.parametrize("name,builder", SCENES, ids=[s[0] for s in SCENES])
 def test_oracle_matches_reference(refpaf, name, builder):
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     peaks_flat, pafs = builder(rng)
     ref_rows, ref_humans = run_reference(refpaf, peaks_flat, pafs)
 
@@ -297,7 +298,7 @@ def test_oracle_matches_reference(refpaf, name, builder):
 def test_native_matches_reference(refpaf, name, builder):
     if not native.available():  # builds on demand inside available()
         pytest.skip("native pafdecode library unavailable")
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     peaks_flat, pafs = builder(rng)
     ref_rows, ref_humans = run_reference(refpaf, peaks_flat, pafs)
 
@@ -333,7 +334,7 @@ def test_device_assembler_matches_reference(refpaf, name, n_people):
 
     from torch_ekpose_tpu.decode import device
 
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     grid_h, grid_w = 40, 48
     peaks_flat, pafs = scene_people(rng, n_people, grid_h, grid_w)
 

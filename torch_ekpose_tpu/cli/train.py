@@ -155,23 +155,28 @@ def main(argv=None) -> None:
         args.pretrained_path and args.pretrained_path.endswith(".ckpt")
     )
 
-    def _preempt_ckpt_exists() -> bool:
-        # multi-host: every process must agree, and shared storage can lag
-        # behind process 0's write — process 0's view is authoritative
-        # (the same consensus the auto-resume branch below uses)
-        import jax
+    # ONE consensus decision, reused by the warmup-skip and the resume
+    # branch below (two separate collectives could diverge if the
+    # filesystem changes in between). Multi-host: process 0's view is
+    # authoritative — shared storage can lag behind its write.
+    import jax
 
-        exists = os.path.exists(preempt_ckpt)
-        if jax.process_count() > 1:
-            import numpy as np
-            from jax.experimental import multihost_utils
+    resume_preempt = os.path.exists(preempt_ckpt)
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
 
-            exists = bool(multihost_utils.broadcast_one_to_all(
-                np.asarray(exists)
-            ))
-        return exists
+        resume_preempt = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(resume_preempt)
+        ))
+        if resume_preempt and not os.path.exists(preempt_ckpt):
+            raise SystemExit(
+                f"{preempt_ckpt} exists on process 0 but not here: "
+                "multi-host auto-resume requires the checkpoint "
+                "directory on shared storage"
+            )
 
-    will_restore = resume_explicit or _preempt_ckpt_exists()
+    will_restore = resume_explicit or resume_preempt
 
     if args.warmup_epochs and will_restore:
         print(
@@ -207,42 +212,21 @@ def main(argv=None) -> None:
         num_devices=args.num_devices, compute_dtype=compute_dtype,
         grad_accum=args.grad_accum,
     )
-    import jax
-
-    resume_preempt = os.path.exists(preempt_ckpt)
-    if jax.process_count() > 1:
-        # every process must make the same resume decision, and the
-        # checkpoint (written by process 0) must be readable everywhere
-        import numpy as np
-        from jax.experimental import multihost_utils
-
-        resume_preempt = bool(multihost_utils.broadcast_one_to_all(
-            np.asarray(os.path.exists(preempt_ckpt))
-        ))
-        if resume_preempt and not os.path.exists(preempt_ckpt):
-            raise SystemExit(
-                f"{preempt_ckpt} exists on process 0 but not here: "
-                "multi-host auto-resume requires the checkpoint "
-                "directory on shared storage"
-            )
-    if resume_explicit:
-        trainer.restore(args.pretrained_path)
-        print(f"INFO: resumed from {args.pretrained_path} "
-              f"at epoch {trainer.epoch}")
-        if resume_preempt:
-            # an explicit resume supersedes the stale preemption state; if
-            # left on disk, a LATER run in this out_dir would silently
-            # auto-resume from it
-            if trainer.is_main_process:
-                os.remove(preempt_ckpt)
-            print(f"WARNING: removed stale {preempt_ckpt} "
-                  "(superseded by --pretrained_path)")
-    elif resume_preempt:
-        # a preemption checkpoint from a killed run: pick up where it
-        # left off (the interrupted epoch re-runs in full). Consumed on
-        # restore — otherwise every later run in this out_dir would
+    if resume_preempt:
+        # A preemption checkpoint from a killed run: pick up where it
+        # left off (the interrupted epoch re-runs in full). It wins even
+        # over an explicit --pretrained_path *.ckpt: it is strictly newer
+        # state of THIS out_dir, and a scheduler relaunching the original
+        # command line after preemption must not silently restart from
+        # the initial checkpoint (nor destroy the newer state). Consumed
+        # on restore — otherwise every later run in this out_dir would
         # silently resume from stale state. A second preemption writes a
         # fresh one; periodic epoch_N.ckpt files cover crashes between.
+        if resume_explicit:
+            print(f"WARNING: {preempt_ckpt} supersedes --pretrained_path "
+                  f"{args.pretrained_path} (it is newer state of this "
+                  "out_dir); delete the file to restart from the "
+                  "explicit checkpoint instead")
         trainer.restore(preempt_ckpt)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
@@ -253,6 +237,10 @@ def main(argv=None) -> None:
             os.remove(preempt_ckpt)
         print(f"INFO: auto-resumed from {preempt_ckpt} "
               f"at epoch {trainer.epoch} (checkpoint consumed)")
+    elif resume_explicit:
+        trainer.restore(args.pretrained_path)
+        print(f"INFO: resumed from {args.pretrained_path} "
+              f"at epoch {trainer.epoch}")
     trainer.fit(train_loader, val_loader, epochs=args.epochs)
 
 

@@ -224,12 +224,20 @@ class Trainer:
         # ``self.preempted``.
         prev_handlers = {}
         if threading.current_thread() is threading.main_thread():
+            # counts signals DELIVERED TO THIS PROCESS — deliberately not
+            # self.preempted, which the multi-host consensus allgather
+            # also sets: a host whose flag came from a peer's signal must
+            # treat its own first SIGTERM as the graceful one, not as a
+            # force-abort in the middle of writing preempt.ckpt
+            signals_seen = [0]
+
             def _on_signal(signum, frame):
-                if self.preempted:
-                    # second signal: the user wants out NOW, not at the
-                    # next batch boundary — restore the previous handler
-                    # and re-deliver so Ctrl-C force-aborts even inside
-                    # a hung batch or collective
+                signals_seen[0] += 1
+                if signals_seen[0] > 1:
+                    # second LOCAL signal: the user wants out NOW, not at
+                    # the next batch boundary — restore the previous
+                    # handler and re-deliver so Ctrl-C force-aborts even
+                    # inside a hung batch or collective
                     signal.signal(
                         signum, prev_handlers.get(signum, signal.SIG_DFL)
                     )
