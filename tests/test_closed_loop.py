@@ -135,3 +135,40 @@ def test_train_checkpoint_eval_chain(tmp_path, capsys):
     # the chain bar: the trained checkpoint must actually localize the
     # synthetic people, not merely flow through the pipeline
     assert ap > 0.5, (ap, out[-2000:])
+
+
+def test_preempt_ckpt_supersedes_explicit_resume(tmp_path, capsys):
+    """A preempt.ckpt in out_dir wins over --pretrained_path (it is
+    strictly newer state of that out_dir: a scheduler relaunching the
+    original command line after preemption must not restart from the
+    initial checkpoint), is consumed on restore, and forces the
+    warmup-skip path."""
+    from torch_ekpose_tpu.cli.train import main as train_main
+
+    data_dir = build_synth_tree(str(tmp_path / "data"), n_train=2)
+    out_dir = str(tmp_path / "ckpts")
+    base = [
+        "-m", MODEL, "-d", "synth", "--data-dir", data_dir,
+        "-b", "2", "--square_size", str(SIZE),
+        "--workers", "0", "--loader-mode", "thread",
+        "--num-devices", "1", "--save_epoch", "1",
+        "--out-dir", out_dir, "--logdir", str(tmp_path / "logs"),
+    ]
+    train_main(base + ["-e", "1"])
+    first = os.path.join(out_dir, "epoch_0.ckpt")
+    assert os.path.exists(first), os.listdir(out_dir)
+
+    # simulate a preemption checkpoint newer than the explicit one
+    preempt = os.path.join(out_dir, "preempt.ckpt")
+    import shutil
+
+    shutil.copy(first, preempt)
+    capsys.readouterr()
+
+    train_main(base + ["-e", "2", "--warmup_epochs", "1",
+                       "--pretrained_path", first])
+    out = capsys.readouterr().out
+    assert "supersedes --pretrained_path" in out, out[-2000:]
+    assert "skipping warmup" in out, out[-2000:]
+    assert f"auto-resumed from {preempt}" in out, out[-2000:]
+    assert not os.path.exists(preempt)          # consumed on restore
