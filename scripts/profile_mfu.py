@@ -292,6 +292,46 @@ def main():
     print(f"# v6 close: {rel_close(ra, fa) and rel_close(rb, fb)}",
           flush=True)
 
+    # ---- v7: int8 MXU probe -------------------------------------------
+    # v5e's int8 peak (394 TOPS) is 2x bf16; if XLA lowers an
+    # int8xint8->int32 conv onto that path, a quantized serving mode
+    # roughly doubles the compute-bound headline. Per-output-channel
+    # weight scales, dynamic per-tensor activation scale — the standard
+    # post-training scheme a real int8 mode would use.
+    def quant_w(k):
+        s = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(0, 1, 2)) / 127.0
+        q = jnp.clip(jnp.round(k.astype(jnp.float32) / s), -127, 127)
+        return q.astype(jnp.int8), s
+
+    qs = [quant_w(k) for k in ks]
+    q0, s0 = quant_w(k0)
+
+    def int8_conv(x, qk, sw):
+        sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, qk, (1, 1), [(3, 3)] * 2, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        return jax.nn.relu(
+            (y.astype(jnp.float32) * (sx * sw)).astype(jnp.bfloat16)
+        )
+
+    def v7(x):
+        x = int8_conv(x, q0, s0)
+        for qk, sw in qs:
+            x = int8_conv(x, qk, sw)
+        return x
+
+    secs, flops = bench(v7, xin)
+    report("stack-v7-int8", secs, flops, peak)
+    a, bq = v0(xin).astype(jnp.float32), v7(xin).astype(jnp.float32)
+    rel = float(jnp.abs(a - bq).max() / jnp.abs(a).max())
+    # ~1.3% per layer is inherent int8 quantization error; report the
+    # stack total rather than a pass/fail bar
+    print(f"# v7 rel err vs bf16: {rel:.4f}", flush=True)
+
     print(f"# baseline stack ms: {base * 1e3:.3f}", flush=True)
 
 
