@@ -29,9 +29,46 @@ def main(argv=None) -> None:
     parser.add_argument("-b", "--batch", type=int, default=1,
                         help="shape-bucketed batch size (>1 batches the "
                         "forward pass per padded-shape bucket)")
+    parser.add_argument("--num-devices", type=int, default=0,
+                        help="shard each eval batch over an N-device "
+                        "mesh (0 = single device); requires --batch to "
+                        "be a multiple of N. The reference eval loop is "
+                        "strictly batch-1 single-GPU; this scales it "
+                        "linearly over ICI with no cross-chip "
+                        "collectives")
     args = parser.parse_args(argv)
 
-    estimator = common.build_estimator(args)
+    if args.num_devices > 1:
+        if args.batch % args.num_devices:
+            raise SystemExit(
+                f"--batch {args.batch} must be a multiple of "
+                f"--num-devices {args.num_devices}"
+            )
+        from torch_ekpose_tpu.models import get_model
+        from torch_ekpose_tpu.parallel import make_mesh
+        from torch_ekpose_tpu.parallel.inference import ShardedPoseEstimator
+
+        common.apply_platform(getattr(args, "platform", "auto"))
+        common.report_devices()
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        )
+        variables = common.load_variables(args.model, args.ckpt)
+        if dtype != jnp.float32:
+            from torch_ekpose_tpu.models import cast_params
+
+            variables = cast_params(variables, dtype)
+        estimator = ShardedPoseEstimator(
+            get_model(args.model, dtype=dtype),
+            variables,
+            mesh=make_mesh(args.num_devices),
+            preprocess=args.preprocess,
+            dest_size=args.dest_size,
+        )
+    else:
+        estimator = common.build_estimator(args)
     image_dir = os.path.join(args.data_dir, args.datasets, "images", args.mode)
     anno = os.path.join(
         args.data_dir, args.datasets, f"annotations_{args.mode}.json"

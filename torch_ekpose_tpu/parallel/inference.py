@@ -44,6 +44,10 @@ class ShardedPoseEstimator:
     batch by repeating a frame, as the bucketed eval loop does).
     """
 
+    #: decode runs on device (each chip its own shard); the bucketed
+    #: eval loop keys its pipelined dispatch path off this
+    decode_backend = "jax"
+
     def __init__(
         self,
         model,
@@ -51,11 +55,13 @@ class ShardedPoseEstimator:
         mesh=None,
         config: Optional[Config] = None,
         preprocess: str = "vgg",
+        dest_size: int = 368,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.config = config or default_cfg
         self.preprocess = preprocess
+        self.dest_size = dest_size
         self._replicated = replicated(self.mesh)
         self._data = data_sharding(self.mesh)
         self.variables = jax.device_put(variables, self._replicated)
@@ -110,7 +116,11 @@ class ShardedPoseEstimator:
             self._cache = {"forward": forward, "decode": decode}
         return self._cache["forward"], self._cache["decode"]
 
-    def estimate_batch(self, images: np.ndarray) -> List[List[Human]]:
+    def estimate_batch_async(self, images: np.ndarray):
+        """Dispatch one sharded forward+decode without synchronizing;
+        the returned handle lets host-side work (image loading, padding)
+        overlap device execution — same pipelined-dispatch contract as
+        ``PoseEstimator.estimate_batch_async``."""
         b, h, w = images.shape[:3]
         if b % self.mesh.size:
             raise ValueError(
@@ -119,8 +129,16 @@ class ShardedPoseEstimator:
         forward, decode = self._programs()
         images = jax.device_put(jnp.asarray(images), self._data)
         paf, heatmap = forward(self.variables, images)
-        packed = jax.device_get(decode(heatmap, paf))
+        return decode(heatmap, paf), (h, w)
+
+    def collect_batch(self, handle) -> List[List[Human]]:
+        """Fetch one dispatched batch's packed decode results."""
+        packed_dev, (h, w) = handle
+        packed = jax.device_get(packed_dev)
         return [
             decode_device.packed_to_humans(packed[i], h, w, self.config)
-            for i in range(b)
+            for i in range(packed.shape[0])
         ]
+
+    def estimate_batch(self, images: np.ndarray) -> List[List[Human]]:
+        return self.collect_batch(self.estimate_batch_async(images))
