@@ -1,22 +1,34 @@
 """Sustained batched streaming throughput at 432x368: device preprocess +
-bf16 forward + grid-batched Pallas decode, one fused program per batch.
-Prints per-batch-size fps to pick the bench.py headline configuration."""
+bf16 (or --dtype int8) forward + grid-batched Pallas decode, one fused
+program per batch. Prints per-batch-size fps to pick the bench.py
+headline configuration."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
 import time, json
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from torch_ekpose_tpu.config import get_default_config
-from torch_ekpose_tpu.models import cast_params, init_model
+from torch_ekpose_tpu.models import (
+    cast_params, get_model, init_model, quantize_variables,
+)
 from torch_ekpose_tpu.decode import device as decode_device
 from torch_ekpose_tpu.runtime.estimator import preprocess_jax
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--dtype", choices=["bfloat16", "int8"], default="bfloat16")
+dtype_arg = ap.parse_args().dtype
 
 h, w = 368, 432
 cfg = get_default_config()
 model, variables = init_model("vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfloat16)
-variables = cast_params(variables, jnp.bfloat16)
+if dtype_arg == "int8":
+    model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    variables = quantize_variables(variables, model)
+else:
+    variables = cast_params(variables, jnp.bfloat16)
 packed_decoder = decode_device.build_packed_decoder(cfg, batched=True)
 
 @jax.jit

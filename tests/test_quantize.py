@@ -1,0 +1,181 @@
+"""Int8 serving mode (models/quant.py): QuantConv numerics, float->int8
+tree conversion, closeness of the quantized vgg2016 forward to the f32
+forward, and estimator/CLI wiring. The reference has no quantized path
+(its serving story is the fp32 torch model, lib/evaluate/estimator.py);
+this is a beyond-parity TPU serving feature."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_ekpose_tpu.models import (
+    get_model,
+    init_model,
+    quantize_variables,
+)
+from torch_ekpose_tpu.models.quant import QuantConv, quantize_kernel
+
+
+def test_quant_conv_matches_manual_dequant():
+    """QuantConv == round-to-int8 conv recomputed by hand in numpy."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 6, 6, 5)).astype(np.float32)
+    kernel = rng.normal(size=(3, 3, 5, 7)).astype(np.float32)
+    bias = rng.normal(size=(7,)).astype(np.float32)
+
+    q, scale = quantize_kernel(kernel)
+    variables = {"params": {
+        "kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale),
+        "bias": jnp.asarray(bias),
+    }}
+    out = QuantConv(7, kernel=3, dtype=jnp.float32).apply(
+        variables, jnp.asarray(x)
+    )
+
+    sx = np.abs(x).max() / 127.0
+    xq = np.clip(np.round(x / sx), -127, 127)
+    pad = np.pad(xq[0], ((1, 1), (1, 1), (0, 0)))
+    want = np.zeros((6, 6, 7), np.float32)
+    for i in range(6):
+        for j in range(6):
+            patch = pad[i:i + 3, j:j + 3, :]
+            acc = np.einsum("hwc,hwco->o", patch, q.astype(np.float32))
+            want[i, j] = acc * (sx * scale) + bias
+    np.testing.assert_allclose(np.asarray(out[0]), want, rtol=1e-5, atol=1e-4)
+
+
+def test_quantize_kernel_per_channel_roundtrip():
+    """Per-output-channel scales: a channel scaled 100x quantizes to the
+    same int grid as its unscaled twin; all-zero channels are safe."""
+    rng = np.random.default_rng(1)
+    k = rng.normal(size=(3, 3, 4, 3)).astype(np.float32)
+    k[..., 1] = k[..., 0] * 100.0
+    k[..., 2] = 0.0
+    q, s = quantize_kernel(k)
+    assert q.dtype == np.int8 and s.shape == (3,)
+    np.testing.assert_array_equal(q[..., 0], q[..., 1])
+    np.testing.assert_allclose(s[1], s[0] * 100.0, rtol=1e-6)
+    assert np.all(q[..., 2] == 0)
+    # dequantized error bounded by scale/2 per weight
+    deq = q.astype(np.float32) * s
+    assert np.abs(deq - k).max() <= (s.max() / 2) + 1e-6
+
+
+def test_quantized_tree_matches_model_structure(vgg_model_and_vars):
+    _, variables = vgg_model_and_vars
+    qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    qvars = quantize_variables(variables, qmodel)
+
+    want = jax.eval_shape(
+        lambda r, x: qmodel.init(r, x, train=False),
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+    )
+    got_tree = jax.tree.map(lambda x: (x.shape, str(x.dtype)), qvars["params"])
+    want_tree = jax.tree.map(
+        lambda x: (x.shape, str(x.dtype)), dict(want)["params"]
+    )
+    assert jax.tree.structure(got_tree) == jax.tree.structure(want_tree)
+    assert jax.tree.leaves(got_tree) == jax.tree.leaves(want_tree)
+
+    # idempotent: re-quantizing an already-quantized tree passes through
+    qvars2 = quantize_variables(qvars, qmodel)
+    chex_equal = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        qvars["params"], qvars2["params"],
+    )
+    assert all(jax.tree.leaves(chex_equal))
+
+
+def test_int8_forward_close_to_f32(vgg_model_and_vars):
+    """End-to-end vgg2016: the int8 forward's stage-6 maps stay close to
+    the f32 forward's (first conv + final projections unquantized)."""
+    model, variables = vgg_model_and_vars
+    qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    qvars = quantize_variables(variables, qmodel)
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3))
+    (paf, ht), _ = model.apply(variables, x, train=False)
+    (qpaf, qht), _ = qmodel.apply(qvars, x, train=False)
+
+    for a, b in ((paf, qpaf), (ht, qht)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.99, cos
+        rel = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-12))
+        assert rel < 0.2, rel
+
+
+def test_estimator_int8_mode(vgg_model_and_vars):
+    from torch_ekpose_tpu.runtime import PoseEstimator
+
+    _, variables = vgg_model_and_vars
+    est = PoseEstimator(
+        model_name="vgg2016", variables=variables, compute_dtype="int8",
+        dest_size=64,
+    )
+    # params actually stored int8
+    kinds = {
+        str(leaf.dtype) for leaf in jax.tree.leaves(est.variables["params"])
+    }
+    assert "int8" in kinds
+    img = np.random.default_rng(3).integers(
+        0, 255, (48, 64, 3)
+    ).astype(np.uint8)
+    humans, im_scale = est.estimate(img)
+    assert isinstance(humans, list) and im_scale == 1.0
+
+
+def test_int8_checkpoint_roundtrip(vgg_model_and_vars, tmp_path):
+    """Quantize once, save, serve: an int8 tree saves/loads through the
+    native msgpack checkpoint with dtypes and values intact, and the
+    estimator accepts the pre-quantized tree without re-quantizing."""
+    from torch_ekpose_tpu.runtime import PoseEstimator
+    from torch_ekpose_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    _, variables = vgg_model_and_vars
+    qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    qvars = quantize_variables(variables, qmodel)
+
+    path = str(tmp_path / "vgg_int8.msgpack")
+    save_checkpoint(path, qvars)
+    template = jax.tree.map(np.zeros_like, jax.tree.map(np.asarray, qvars))
+    restored = load_checkpoint(path, template)
+    same = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all())
+        and a.dtype == np.asarray(b).dtype,
+        restored["params"], qvars["params"],
+    )
+    assert all(jax.tree.leaves(same))
+
+    est = PoseEstimator(
+        model_name="vgg2016", variables=restored, compute_dtype="int8",
+        dest_size=64,
+    )
+    img = np.full((64, 64, 3), 127, np.uint8)
+    humans, _ = est.estimate(img)
+    assert isinstance(humans, list)
+
+
+def test_quantize_rejects_ds_family():
+    with pytest.raises(ValueError, match="vgg family"):
+        get_model("mobilenetV2_small", quantize=True)
+
+
+def test_quantize_variables_on_device_tree():
+    """Device (jitted-init) trees quantize as one jitted program, no
+    host round-trip, same result as the numpy path."""
+    _, dev_vars = init_model("vgg2016", input_shape=(1, 32, 32, 3))
+    host_vars = {"params": jax.tree.map(np.asarray, dev_vars["params"])}
+    qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    q_dev = quantize_variables(dev_vars, qmodel)
+    q_host = quantize_variables(host_vars, qmodel)
+    same = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        q_dev["params"], q_host["params"],
+    )
+    assert all(jax.tree.leaves(same))

@@ -55,8 +55,10 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--dtype", type=str, default="bfloat16",
-        choices=["bfloat16", "float32"],
-        help="activation compute dtype (params stay float32)",
+        choices=["bfloat16", "float32", "int8"],
+        help="activation compute dtype (params stay float32); int8 = "
+        "quantized serving mode (vgg family only: int8 weights + "
+        "dynamic activation scales, bf16 elsewhere)",
     )
     parser.add_argument(
         "--platform", type=str, default="auto",
@@ -84,6 +86,14 @@ def load_variables(model_name: str, ckpt: Optional[str]):
     return load_checkpoint(ckpt, template)
 
 
+def _compute_dtype(name: str):
+    """--dtype string -> PoseEstimator compute_dtype ("int8" passes
+    through as the quantized-mode sentinel)."""
+    if name == "int8":
+        return "int8"
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
 def build_estimator(
     args: argparse.Namespace, config: Optional[Config] = None
 ) -> PoseEstimator:
@@ -96,8 +106,6 @@ def build_estimator(
         config=config or default_cfg,
         preprocess=args.preprocess,
         decode_backend=args.decode_backend,
-        compute_dtype=(
-            jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        ),
+        compute_dtype=_compute_dtype(args.dtype),
         dest_size=getattr(args, "dest_size", 368),
     )

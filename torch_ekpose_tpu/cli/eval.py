@@ -52,16 +52,25 @@ def main(argv=None) -> None:
         common.report_devices()
         import jax.numpy as jnp
 
-        dtype = (
-            jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        )
         variables = common.load_variables(args.model, args.ckpt)
-        if dtype != jnp.float32:
-            from torch_ekpose_tpu.models import cast_params
+        if args.dtype == "int8":
+            from torch_ekpose_tpu.models import quantize_variables
 
-            variables = cast_params(variables, dtype)
+            model = get_model(
+                args.model, dtype=jnp.bfloat16, quantize=True
+            )
+            variables = quantize_variables(variables, model)
+        else:
+            dtype = (
+                jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+            )
+            model = get_model(args.model, dtype=dtype)
+            if dtype != jnp.float32:
+                from torch_ekpose_tpu.models import cast_params
+
+                variables = cast_params(variables, dtype)
         estimator = ShardedPoseEstimator(
-            get_model(args.model, dtype=dtype),
+            model,
             variables,
             mesh=make_mesh(args.num_devices),
             preprocess=args.preprocess,

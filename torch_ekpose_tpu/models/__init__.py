@@ -5,8 +5,9 @@ from torch_ekpose_tpu.models.factory import (
     init_model,
 )
 from torch_ekpose_tpu.models.heads import CpmHead, OpenPose
+from torch_ekpose_tpu.models.quant import QuantConv, quantize_variables
 
 __all__ = [
     "MODEL_REGISTRY", "cast_params", "get_model", "init_model",
-    "CpmHead", "OpenPose",
+    "CpmHead", "OpenPose", "QuantConv", "quantize_variables",
 ]

@@ -24,10 +24,14 @@ from torch_ekpose_tpu.models.shufflenet_v2 import ShuffleNetV2Backbone
 from torch_ekpose_tpu.models.vgg import VGG19Backbone
 
 
-def _vgg(dtype) -> OpenPose:
+def _vgg(dtype, quantize: bool = False) -> OpenPose:
     return OpenPose(
-        backbone=functools.partial(VGG19Backbone, dtype=dtype),
-        head=functools.partial(CpmHead, branch="vgg", dtype=dtype),
+        backbone=functools.partial(
+            VGG19Backbone, dtype=dtype, quantize=quantize
+        ),
+        head=functools.partial(
+            CpmHead, branch="vgg", dtype=dtype, quantize=quantize
+        ),
     )
 
 
@@ -89,12 +93,18 @@ MODEL_REGISTRY = {
 }
 
 
-def get_model(model_name: str = "vgg2016", dtype=jnp.float32) -> OpenPose:
+def get_model(
+    model_name: str = "vgg2016", dtype=jnp.float32, quantize: bool = False
+) -> OpenPose:
     """Build an OpenPose network by name.
 
     ``dtype`` is the activation/compute dtype; parameters are always
     float32. Raises KeyError with the known names on a typo (the reference
     silently returns None, networks.py:10-68).
+
+    ``quantize=True`` builds the int8 serving variant (dense-conv "vgg"
+    family only — see :mod:`torch_ekpose_tpu.models.quant`); convert a
+    float tree for it with :func:`models.quant.quantize_variables`.
     """
     try:
         builder = MODEL_REGISTRY[model_name]
@@ -102,6 +112,14 @@ def get_model(model_name: str = "vgg2016", dtype=jnp.float32) -> OpenPose:
         raise KeyError(
             f"unknown model {model_name!r}; available: {sorted(MODEL_REGISTRY)}"
         ) from None
+    if quantize:
+        if builder is not _vgg:
+            raise ValueError(
+                f"int8 quantization supports the dense-conv vgg family "
+                f"only, not {model_name!r} (its FLOPs sit in BN-folded "
+                f"depthwise-separable convs; run it in bfloat16)"
+            )
+        return builder(dtype, quantize=True)
     return builder(dtype)
 
 

@@ -45,6 +45,10 @@ class VggBranch(nn.Module):
     out_channels: int
     first_stage: bool
     dtype: Dtype = jnp.float32
+    #: int8 serving mode: quantize the relu convs (where the 7x7 FLOPs
+    #: are); the final 1x1 projection stays bf16 — it writes the
+    #: PAF/heatmap values the decoder reads directly
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,7 +60,7 @@ class VggBranch(nn.Module):
         for kernel, feats in plan:
             x = ConvBlock(
                 feats, kernel=kernel, act="relu", dtype=self.dtype,
-                name=f"conv_{torch_idx}",
+                quantize=self.quantize, name=f"conv_{torch_idx}",
             )(x, train=train)
             torch_idx += 2  # conv + relu in the torch Sequential
         x = ConvBlock(
@@ -103,11 +107,13 @@ class CpmHead(nn.Module):
     paf_channels: int = constants.NUM_PAF_CHANNELS
     heatmap_channels: int = constants.NUM_HEATMAP_CHANNELS
     dtype: Dtype = jnp.float32
+    quantize: bool = False  # int8 serving mode ("vgg" branch only)
 
     def _branch(self, out_channels: int, first_stage: bool, name: str):
         if self.branch == "vgg":
             return VggBranch(
-                out_channels, first_stage=first_stage, dtype=self.dtype, name=name
+                out_channels, first_stage=first_stage, dtype=self.dtype,
+                quantize=self.quantize, name=name,
             )
         if self.branch == "ds":
             return DSBranch(

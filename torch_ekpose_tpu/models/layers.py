@@ -44,21 +44,36 @@ class ConvBlock(nn.Module):
     act: Optional[str] = "relu"  # None | "relu" | "relu6"
     dtype: Dtype = jnp.float32
     kernel_init: Any = kaiming_out
+    #: swap the conv for an int8-weight QuantConv (see models/quant.py);
+    #: the surrounding act stays identical, the param path stays "conv"
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=self.kernel_init,
-            bias_init=nn.initializers.zeros,
-            name="conv",
-        )(x)
+        if self.quantize:
+            from torch_ekpose_tpu.models.quant import QuantConv
+
+            x = QuantConv(
+                self.features,
+                kernel=self.kernel,
+                stride=self.stride,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=self.kernel_init,
+                bias_init=nn.initializers.zeros,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -22,6 +22,10 @@ class VGG19Backbone(nn.Module):
     """VGG19 features[:23] + 3×3(512→256) + 3×3(256→128), stride 8 out."""
 
     dtype: Dtype = jnp.float32
+    #: int8 serving mode: quantize every conv except the input conv
+    #: (conv_0 reads raw normalized pixels and is a negligible FLOP
+    #: share — standard PTQ practice keeps it high-precision)
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -30,6 +34,7 @@ class VGG19Backbone(nn.Module):
             for _ in range(n_convs):
                 x = ConvBlock(
                     feats, kernel=3, act="relu", dtype=self.dtype,
+                    quantize=self.quantize and torch_idx > 0,
                     name=f"conv_{torch_idx}",
                 )(x, train=train)
                 torch_idx += 2  # conv + relu
@@ -38,10 +43,12 @@ class VGG19Backbone(nn.Module):
                 torch_idx += 1
         # The two extra convs appended after features[:23]
         # (reference vgg2016.py:16-19): torch indices 23 and 25.
-        x = ConvBlock(256, kernel=3, act="relu", dtype=self.dtype, name="conv_23")(
+        x = ConvBlock(256, kernel=3, act="relu", dtype=self.dtype,
+                      quantize=self.quantize, name="conv_23")(
             x, train=train
         )
-        x = ConvBlock(128, kernel=3, act="relu", dtype=self.dtype, name="conv_25")(
+        x = ConvBlock(128, kernel=3, act="relu", dtype=self.dtype,
+                      quantize=self.quantize, name="conv_25")(
             x, train=train
         )
         return x

@@ -31,7 +31,12 @@ from torch_ekpose_tpu import constants
 from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.decode import api as decode_api
 from torch_ekpose_tpu.decode import device as decode_device
-from torch_ekpose_tpu.models import cast_params, get_model, init_model
+from torch_ekpose_tpu.models import (
+    cast_params,
+    get_model,
+    init_model,
+    quantize_variables,
+)
 from torch_ekpose_tpu.ops.resize import resize_image_np
 from torch_ekpose_tpu.utils.human import Human
 
@@ -120,15 +125,32 @@ class PoseEstimator:
         self.preprocess = preprocess
         self.decode_backend = decode_backend
         self.dest_size = dest_size
-        self.model = get_model(model_name, dtype=compute_dtype)
-        if variables is None:
-            _, variables = init_model(
-                model_name, input_shape=(1, 64, 64, 3), dtype=compute_dtype
+        if compute_dtype == "int8":
+            # int8 serving mode: int8 weights + dynamic activation
+            # scales, bf16 everywhere else (models/quant.py). Weight HBM
+            # traffic halves vs bf16 and the convs can ride the MXU's
+            # 2x int8 path.
+            self.model = get_model(
+                model_name, dtype=jnp.bfloat16, quantize=True
             )
-        if compute_dtype != jnp.float32:
-            # store weights in the compute dtype: halves weight streaming
-            # (the dominant HBM traffic at batch 1) and drops per-call casts
-            variables = cast_params(variables, compute_dtype)
+            if variables is None:
+                _, variables = init_model(
+                    model_name, input_shape=(1, 64, 64, 3),
+                    dtype=jnp.bfloat16,
+                )
+            variables = quantize_variables(variables, self.model)
+        else:
+            self.model = get_model(model_name, dtype=compute_dtype)
+            if variables is None:
+                _, variables = init_model(
+                    model_name, input_shape=(1, 64, 64, 3),
+                    dtype=compute_dtype,
+                )
+            if compute_dtype != jnp.float32:
+                # store weights in the compute dtype: halves weight
+                # streaming (the dominant HBM traffic at batch 1) and
+                # drops per-call casts
+                variables = cast_params(variables, compute_dtype)
         self.variables = variables
         #: Compile forward+decode as ONE XLA program (default). The merged
         #: program avoids the inter-program device copy of the paf/heatmap
