@@ -42,6 +42,19 @@ def test_run_image_cli_analyze(tiny_image, tmp_path):
     assert os.path.exists(str(tmp_path / "out_analyze.jpg"))
 
 
+def test_run_image_cli_spatial_mesh(tiny_image, tmp_path):
+    """--num-devices N runs the height-sharded (sp) estimator end to
+    end; vgg family since sp targets the dense-conv flagship."""
+    from torch_ekpose_tpu.cli.run_image import main
+
+    out = str(tmp_path / "out_sp.jpg")
+    main([
+        "-m", "vgg2016", "-i", tiny_image, "-o", out,
+        "--num-devices", "8", "--dest-size", "128",
+    ])
+    assert os.path.exists(out)
+
+
 def test_summary_cli(capsys):
     from torch_ekpose_tpu.cli.summary import main
 

@@ -94,6 +94,29 @@ def _compute_dtype(name: str):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
+def build_model_and_variables(args):
+    """(model, ready-to-serve variables) honoring --platform, --ckpt
+    and --dtype (including the int8 serving mode) — the shared front
+    half of every estimator construction; used directly by the
+    mesh-sharded CLI paths that build their own estimator."""
+    from torch_ekpose_tpu.models import get_model, quantize_variables
+
+    apply_platform(getattr(args, "platform", "auto"))
+    report_devices()
+    variables = load_variables(args.model, args.ckpt)
+    if args.dtype == "int8":
+        model = get_model(args.model, dtype=jnp.bfloat16, quantize=True)
+        variables = quantize_variables(variables, model)
+    else:
+        dtype = _compute_dtype(args.dtype)
+        model = get_model(args.model, dtype=dtype)
+        if dtype != jnp.float32:
+            from torch_ekpose_tpu.models import cast_params
+
+            variables = cast_params(variables, dtype)
+    return model, variables
+
+
 def build_estimator(
     args: argparse.Namespace, config: Optional[Config] = None
 ) -> PoseEstimator:

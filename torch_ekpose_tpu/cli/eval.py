@@ -44,31 +44,10 @@ def main(argv=None) -> None:
                 f"--batch {args.batch} must be a multiple of "
                 f"--num-devices {args.num_devices}"
             )
-        from torch_ekpose_tpu.models import get_model
         from torch_ekpose_tpu.parallel import make_mesh
         from torch_ekpose_tpu.parallel.inference import ShardedPoseEstimator
 
-        common.apply_platform(getattr(args, "platform", "auto"))
-        common.report_devices()
-        import jax.numpy as jnp
-
-        variables = common.load_variables(args.model, args.ckpt)
-        if args.dtype == "int8":
-            from torch_ekpose_tpu.models import quantize_variables
-
-            model = get_model(
-                args.model, dtype=jnp.bfloat16, quantize=True
-            )
-            variables = quantize_variables(variables, model)
-        else:
-            dtype = (
-                jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-            )
-            model = get_model(args.model, dtype=dtype)
-            if dtype != jnp.float32:
-                from torch_ekpose_tpu.models import cast_params
-
-                variables = cast_params(variables, dtype)
+        model, variables = common.build_model_and_variables(args)
         estimator = ShardedPoseEstimator(
             model,
             variables,

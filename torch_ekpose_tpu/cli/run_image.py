@@ -60,6 +60,21 @@ def process_image_analyze(estimator, input_path: str, output_path: str):
     plt.close(fig)
 
 
+def _build_spatial(args):
+    """Spatially-sharded estimator: image height split over the mesh
+    (parallel/spatial.py) — the batch-1 multi-chip latency path."""
+    from torch_ekpose_tpu.parallel import SpatialPoseEstimator, make_mesh
+
+    model, variables = common.build_model_and_variables(args)
+    return SpatialPoseEstimator(
+        model,
+        variables,
+        mesh=make_mesh(args.num_devices),
+        preprocess=args.preprocess,
+        dest_size=args.dest_size,
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(parser)
@@ -68,9 +83,19 @@ def main(argv=None) -> None:
     parser.add_argument("--input-dir", type=str, default="./demo/")
     parser.add_argument("--output-dir", type=str, default="./demo/outputs/")
     parser.add_argument("-a", "--analyze", action="store_true")
+    parser.add_argument("--num-devices", type=int, default=0,
+                        help="shard each image's HEIGHT over an "
+                        "N-device mesh (spatial partitioning with GSPMD "
+                        "halo exchange) — cuts single-frame latency "
+                        "where batching can't; 0 = single device")
     args = parser.parse_args(argv)
 
-    estimator = common.build_estimator(args)
+    if args.num_devices > 1:
+        if args.analyze:
+            raise SystemExit("--analyze is single-device only")
+        estimator = _build_spatial(args)
+    else:
+        estimator = common.build_estimator(args)
 
     if args.image:
         output = args.output or os.path.join(

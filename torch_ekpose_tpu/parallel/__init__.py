@@ -9,6 +9,7 @@ from torch_ekpose_tpu.parallel.mesh import (
 
 __all__ = [
     "ShardedPoseEstimator",
+    "SpatialPoseEstimator",
     "data_sharding",
     "make_mesh",
     "init_distributed",
@@ -19,9 +20,13 @@ __all__ = [
 
 
 def __getattr__(name):
-    # lazy: parallel.inference pulls in the decode stack
+    # lazy: parallel.inference/spatial pull in the decode stack
     if name == "ShardedPoseEstimator":
         from torch_ekpose_tpu.parallel.inference import ShardedPoseEstimator
 
         return ShardedPoseEstimator
+    if name == "SpatialPoseEstimator":
+        from torch_ekpose_tpu.parallel.spatial import SpatialPoseEstimator
+
+        return SpatialPoseEstimator
     raise AttributeError(name)
