@@ -55,6 +55,61 @@ def test_run_image_cli_spatial_mesh(tiny_image, tmp_path):
     assert os.path.exists(out)
 
 
+def test_export_cli_int8_chain(vgg_model_and_vars, tiny_image, tmp_path):
+    """cli.export quantizes a float checkpoint once offline; the
+    inference CLIs then serve the pre-quantized msgpack directly
+    (-c vgg_int8.msgpack --dtype int8) without re-quantizing."""
+    import jax
+
+    from torch_ekpose_tpu.cli.export import main as export_main
+    from torch_ekpose_tpu.cli.run_image import main as run_image_main
+    from torch_ekpose_tpu.runtime.checkpoint import save_checkpoint
+
+    _, variables = vgg_model_and_vars
+    float_ckpt = str(tmp_path / "vgg.msgpack")
+    save_checkpoint(
+        float_ckpt, jax.tree.map(np.asarray, dict(variables))
+    )
+
+    int8_ckpt = str(tmp_path / "vgg_int8.msgpack")
+    export_main([
+        "-m", "vgg2016", "-c", float_ckpt, "--dtype", "int8",
+        "-o", int8_ckpt,
+    ])
+    assert os.path.exists(int8_ckpt)
+    # int8 weights: well under half the float file's size
+    assert os.path.getsize(int8_ckpt) < os.path.getsize(float_ckpt) / 2
+
+    out = str(tmp_path / "out_int8.jpg")
+    run_image_main([
+        "-m", "vgg2016", "-c", int8_ckpt, "--dtype", "int8",
+        "-i", tiny_image, "-o", out, "--dest-size", "96",
+    ])
+    assert os.path.exists(out)
+
+
+def test_export_cli_to_torch(vgg_model_and_vars, tmp_path):
+    """--to-torch writes a reference-format state_dict torch can read
+    back (the reference loader strips the module. prefix)."""
+    import jax
+    import torch
+
+    from torch_ekpose_tpu.cli.export import main as export_main
+    from torch_ekpose_tpu.runtime.checkpoint import save_checkpoint
+
+    _, variables = vgg_model_and_vars
+    float_ckpt = str(tmp_path / "vgg.msgpack")
+    save_checkpoint(
+        float_ckpt, jax.tree.map(np.asarray, dict(variables))
+    )
+    out_pth = str(tmp_path / "vgg_ref.pth")
+    export_main([
+        "-m", "vgg2016", "-c", float_ckpt, "--to-torch", "-o", out_pth,
+    ])
+    state = torch.load(out_pth, weights_only=True)
+    assert all(k.startswith("module.") for k in state)
+
+
 def test_summary_cli(capsys):
     from torch_ekpose_tpu.cli.summary import main
 

@@ -73,7 +73,12 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     )
 
 
-def load_variables(model_name: str, ckpt: Optional[str]):
+def load_variables(
+    model_name: str, ckpt: Optional[str], quantized: bool = False
+):
+    """``quantized=True`` restores a pre-quantized int8 msgpack (its
+    tree has kernel_q/scale leaves, so the float template can't
+    receive it)."""
     if ckpt is None:
         print("WARNING: no checkpoint given; using random initialization")
         _, variables = init_model(model_name, input_shape=(1, 64, 64, 3))
@@ -82,6 +87,22 @@ def load_variables(model_name: str, ckpt: Optional[str]):
         print(f"INFO: converting reference checkpoint {ckpt}")
         return convert_torch_checkpoint(ckpt, model_name)
     print(f"INFO: loading checkpoint {ckpt}")
+    if quantized:
+        import functools
+
+        import numpy as np
+
+        from torch_ekpose_tpu.models import get_model
+
+        qmodel = get_model(model_name, quantize=True)
+        shapes = jax.eval_shape(
+            functools.partial(qmodel.init, train=False),
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        )
+        template = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), dict(shapes)
+        )
+        return load_checkpoint(ckpt, template)
     _, template = init_model(model_name, input_shape=(1, 64, 64, 3))
     return load_checkpoint(ckpt, template)
 
@@ -103,17 +124,22 @@ def build_model_and_variables(args):
 
     apply_platform(getattr(args, "platform", "auto"))
     report_devices()
-    variables = load_variables(args.model, args.ckpt)
     if args.dtype == "int8":
         model = get_model(args.model, dtype=jnp.bfloat16, quantize=True)
-        variables = quantize_variables(variables, model)
-    else:
-        dtype = _compute_dtype(args.dtype)
-        model = get_model(args.model, dtype=dtype)
-        if dtype != jnp.float32:
-            from torch_ekpose_tpu.models import cast_params
+        try:
+            variables = load_variables(args.model, args.ckpt)
+        except (KeyError, ValueError):
+            # a pre-quantized msgpack (cli.export --dtype int8)
+            variables = load_variables(args.model, args.ckpt, quantized=True)
+        variables = quantize_variables(variables, model)  # no-op if int8
+        return model, variables
+    variables = load_variables(args.model, args.ckpt)
+    dtype = _compute_dtype(args.dtype)
+    model = get_model(args.model, dtype=dtype)
+    if dtype != jnp.float32:
+        from torch_ekpose_tpu.models import cast_params
 
-            variables = cast_params(variables, dtype)
+        variables = cast_params(variables, dtype)
     return model, variables
 
 
@@ -122,7 +148,13 @@ def build_estimator(
 ) -> PoseEstimator:
     apply_platform(getattr(args, "platform", "auto"))
     report_devices()
-    variables = load_variables(args.model, args.ckpt)
+    try:
+        variables = load_variables(args.model, args.ckpt)
+    except (KeyError, ValueError):
+        if args.dtype != "int8":
+            raise
+        # a pre-quantized msgpack (cli.export --dtype int8)
+        variables = load_variables(args.model, args.ckpt, quantized=True)
     return PoseEstimator(
         model_name=args.model,
         variables=variables,
