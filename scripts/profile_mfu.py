@@ -33,19 +33,36 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench(fn, *args, n=30):
-    """Best (min over 3 timed groups) seconds per call, compile excluded."""
-    fn = jax.jit(fn)
-    r = jax.block_until_ready(fn(*args))
-    del r
+def bench(fn, *args, n=30, chain=0):
+    """Best (min over 3 timed groups) seconds per call, compile excluded.
+
+    Honest timing through the device tunnel: each call's input
+    ``args[chain]`` is perturbed by a zero scalar computed FROM the
+    previous call's output, so call k+1 cannot execute before call k
+    finishes, and the clock stops on a real value fetch —
+    ``block_until_ready`` has returned before queued work executed
+    under tunnel congestion (see bench.py), yielding impossible
+    speeds."""
+
+    def wrapped(tweak, *a):
+        a = list(a)
+        a[chain] = a[chain] + tweak.astype(a[chain].dtype)
+        out = fn(*a)
+        leaf = jax.tree.leaves(out)[0]
+        return (leaf.ravel()[0] * 0).astype(jnp.float32)
+
+    jfn = jax.jit(wrapped)
+    tweak = jax.block_until_ready(jfn(jnp.asarray(0.0, jnp.float32), *args))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n):
-            r = fn(*args)
-        jax.block_until_ready(r)
+            tweak = jfn(tweak, *args)
+        final = float(jax.device_get(tweak))  # real fetch ends the clock
         times.append((time.perf_counter() - t0) / n)
-    cost = fn.lower(*args).compile().cost_analysis()
+        if final != 0.0:
+            raise RuntimeError(f"chain scalar should be 0, got {final}")
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
     flops = float((cost or {}).get("flops", 0.0))
     return min(times), flops
 
@@ -93,7 +110,7 @@ def main():
         (paf, ht), _ = model.apply(v, x, train=False)
         return paf, ht
 
-    secs, flops = bench(full, variables, x)
+    secs, flops = bench(full, variables, x, chain=1)
     report("full-forward", secs, flops, peak)
     if args.trace:
         with jax.profiler.trace(args.trace):
@@ -103,7 +120,7 @@ def main():
     # backbone alone
     bb = model.backbone(name="model0")
     bb_vars = {"params": variables["params"]["model0"]}
-    secs, flops = bench(lambda v, x: bb.apply(v, x), bb_vars, x)
+    secs, flops = bench(lambda v, x: bb.apply(v, x), bb_vars, x, chain=1)
     report("backbone", secs, flops, peak)
 
     # one refinement stage (both branches) on the real concat shape
@@ -128,7 +145,7 @@ def main():
             {"params": v["params"]["model2_2"]}, cat)
         return paf, ht
 
-    secs, flops = bench(one_stage, s2, cat)
+    secs, flops = bench(one_stage, s2, cat, chain=1)
     report("one-7x7-stage(2br)", secs, flops, peak)
 
     # ---- variants of the 5x(7x7,128) stack ----------------------------
