@@ -2,11 +2,12 @@
 flagship vgg2016 pipeline at 432x368 (BASELINE.json headline metric) —
 device preprocessing + 6-stage CPM forward (bfloat16) + fully on-device
 pose decode (grid-batched Pallas match/merge kernels) on batches of 8
-frames, results packed into one buffer per batch. Two chained XLA
-programs (forward, then decode; buffers pass device-to-device), exactly
-how the production eval/video/serve paths run it — fusing the batched
-pair into one program sends XLA's optimization passes off a cliff
-(minutes of compile vs ~15 s).
+frames, results packed into one buffer per batch. ONE fused XLA program
+per batch: preprocess + forward + decode + the chain scalar. (Earlier
+rounds ran forward and decode as two chained programs because fusing
+them compiled for minutes; once the decoder's gathers became one-hot
+contractions the fused pair compiles in normal time and runs ~20%
+faster — the decode rides in the forward program's shadow.)
 
 Batch 8 is where per-chip throughput saturates on v5e (measured sweep in
 docs/PERF.md). Prints ONE JSON line:
@@ -52,7 +53,7 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
     packed_decoder = decode_device.build_packed_decoder(cfg, batched=True)
 
     @jax.jit
-    def forward(variables, frames, tweak):
+    def infer(variables, frames, tweak):
         # ``tweak`` is a uint8 scalar derived from the PREVIOUS batch's
         # decode output (always zero in value): it makes each iteration
         # data-dependent on the last, so the measured loop cannot be
@@ -62,17 +63,10 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
         (paf, heatmap), _ = model.apply(
             variables, x.astype(jnp.bfloat16), train=False
         )
-        return paf.astype(jnp.float32), heatmap.astype(jnp.float32)
-
-    @jax.jit
-    def chain(packed):
-        return (packed[0, 0] * 0).astype(jnp.uint8)
-
-    def infer(variables, frames, tweak):
-        # nothing returns to the host until the fixed-shape packed result
-        # buffer; paf/heatmap stay on device between the two programs
-        paf, heatmap = forward(variables, frames, tweak)
-        return packed_decoder(heatmap, paf)
+        packed = packed_decoder(
+            heatmap.astype(jnp.float32), paf.astype(jnp.float32)
+        )
+        return packed, (packed[0, 0] * 0).astype(jnp.uint8)
 
     # decode-kernel certification on the SAME device the bench runs on:
     # the grid-batched Pallas match/merge decoder must reproduce the numpy
@@ -106,7 +100,7 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
 
     # warmup / compile
     tweak = jnp.asarray(0, jnp.uint8)
-    tweak = chain(infer(variables, batches[0], tweak))
+    _, tweak = infer(variables, batches[0], tweak)
     jax.block_until_ready(tweak)
 
     # best of three timing loops: a transient host<->device transport
@@ -116,8 +110,7 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(n):
-            result = infer(variables, batches[i % len(batches)], tweak)
-            tweak = chain(result)
+            _, tweak = infer(variables, batches[i % len(batches)], tweak)
         # a real value fetch, not block_until_ready: it cannot return
         # until the whole dependency chain has executed (an unconditional
         # statement — an assert would vanish under python -O and stop the
@@ -136,7 +129,7 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
 
     mfu = None
     try:
-        cost = forward.lower(
+        cost = infer.lower(
             variables, batches[0], tweak
         ).compile().cost_analysis()
         flops_batch = float((cost or {}).get("flops", 0.0))
@@ -159,7 +152,8 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
         # exact device-vs-oracle agreement of the Pallas decode kernels on
         # the chip this bench ran on (see the parity block above)
         "decode_parity": "ok" if parity_ok else "FAIL",
-        # forward-program model-FLOPs utilization vs the chip's bf16 peak
+        # fused-pipeline-program (preprocess+forward+decode) model-FLOPs
+        # utilization vs the chip's bf16 peak
         "mfu": mfu,
     }))
     if not parity_ok:

@@ -65,11 +65,15 @@ def main():
         step = make_train_step(model, targets="device", grid=grid)
 
         state, logs = step(state, images, kpts)       # compile + warm
-        jax.block_until_ready(logs["Loss"])
+        # Steps serialize through the carried ``state``; the clock must
+        # still STOP on a real value fetch — block_until_ready has
+        # returned before queued work executed under tunnel congestion
+        # (see bench.py), which once made f32 read as 1073 img/s here.
+        float(jax.device_get(logs["Loss"]))
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, logs = step(state, images, kpts)
-        jax.block_until_ready(logs["Loss"])
+        float(jax.device_get(logs["Loss"]))
         dt = (time.perf_counter() - t0) / args.steps
 
         mfu = None

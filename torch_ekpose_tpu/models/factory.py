@@ -24,10 +24,11 @@ from torch_ekpose_tpu.models.shufflenet_v2 import ShuffleNetV2Backbone
 from torch_ekpose_tpu.models.vgg import VGG19Backbone
 
 
-def _vgg(dtype, quantize: bool = False) -> OpenPose:
+def _vgg(dtype, quantize: bool = False, fused_blocks: int = 0) -> OpenPose:
     return OpenPose(
         backbone=functools.partial(
-            VGG19Backbone, dtype=dtype, quantize=quantize
+            VGG19Backbone, dtype=dtype, quantize=quantize,
+            fused_blocks=fused_blocks,
         ),
         head=functools.partial(
             CpmHead, branch="vgg", dtype=dtype, quantize=quantize
@@ -94,7 +95,8 @@ MODEL_REGISTRY = {
 
 
 def get_model(
-    model_name: str = "vgg2016", dtype=jnp.float32, quantize: bool = False
+    model_name: str = "vgg2016", dtype=jnp.float32, quantize: bool = False,
+    fused_blocks: int = 0,
 ) -> OpenPose:
     """Build an OpenPose network by name.
 
@@ -120,6 +122,13 @@ def get_model(
                 f"depthwise-separable convs; run it in bfloat16)"
             )
         return builder(dtype, quantize=True)
+    if fused_blocks:
+        if builder is not _vgg:
+            raise ValueError(
+                "fused_blocks applies to the vgg family only "
+                f"(requested {model_name!r})"
+            )
+        return builder(dtype, fused_blocks=fused_blocks)
     return builder(dtype)
 
 

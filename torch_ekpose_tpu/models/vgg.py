@@ -10,12 +10,47 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from torch_ekpose_tpu.models.layers import ConvBlock, Dtype, max_pool
+from torch_ekpose_tpu.models.layers import (
+    ConvBlock, Dtype, kaiming_out, max_pool,
+)
 
 
 #: (convs_per_block, out_channels); a 2×2/2 max pool follows each of the
 #: first three blocks. This is exactly torchvision vgg19 features[:23].
 VGG19_PLAN = ((2, 64), (2, 128), (4, 256), (2, 512))
+
+
+class _ConvParams(nn.Module):
+    """Parameters of one ConvBlock conv, without the computation.
+
+    Declares exactly the tree a ``ConvBlock(name=f"conv_{i}")`` would —
+    ``conv_{i}/conv/{kernel,bias}`` with the same shapes and inits — so
+    checkpoints convert/restore identically whether the block runs
+    through flax convs or the fused Pallas kernel.
+    """
+
+    features: int
+    in_features: int
+
+    class _Inner(nn.Module):
+        features: int
+        in_features: int
+
+        @nn.compact
+        def __call__(self):
+            kernel = self.param(
+                "kernel", kaiming_out,
+                (3, 3, self.in_features, self.features), jnp.float32,
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.float32,
+            )
+            return kernel, bias
+
+    @nn.compact
+    def __call__(self):
+        return self._Inner(self.features, self.in_features, name="conv")()
 
 
 class VGG19Backbone(nn.Module):
@@ -26,17 +61,39 @@ class VGG19Backbone(nn.Module):
     #: (conv_0 reads raw normalized pixels and is a negligible FLOP
     #: share — standard PTQ practice keeps it high-precision)
     quantize: bool = False
+    #: fuse the first N pooled blocks (N in 0..3) into single-pass Pallas
+    #: conv-chain kernels (ops/pallas_conv.py) — the low-channel
+    #: full-resolution prefix where XLA's conv emitter runs at 1-13% of
+    #: MXU peak (docs/PERF.md). INFERENCE ONLY: the kernel defines no
+    #: VJP, so training and quantized serving keep the flax convs. The
+    #: parameter tree is identical either way.
+    fused_blocks: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from torch_ekpose_tpu.ops.pallas_conv import conv_chain
+
+        fused = 0 if self.quantize else min(self.fused_blocks, 3)
         torch_idx = 0  # index into the torch nn.Sequential for ckpt mapping
+        in_feats = x.shape[-1]
         for block_i, (n_convs, feats) in enumerate(VGG19_PLAN):
+            if block_i < fused:
+                params = []
+                for _ in range(n_convs):
+                    params.append(_ConvParams(
+                        feats, in_feats, name=f"conv_{torch_idx}")())
+                    in_feats = feats
+                    torch_idx += 2
+                x = conv_chain(x.astype(self.dtype), params, pool=True)
+                torch_idx += 1
+                continue
             for _ in range(n_convs):
                 x = ConvBlock(
                     feats, kernel=3, act="relu", dtype=self.dtype,
                     quantize=self.quantize and torch_idx > 0,
                     name=f"conv_{torch_idx}",
                 )(x, train=train)
+                in_feats = feats
                 torch_idx += 2  # conv + relu
             if block_i < 3:
                 x = max_pool(x, 2, 2)
