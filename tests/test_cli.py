@@ -42,6 +42,20 @@ def test_run_image_cli_analyze(tiny_image, tmp_path):
     assert os.path.exists(str(tmp_path / "out_analyze.jpg"))
 
 
+def test_run_image_cli_fused_blocks(tiny_image, tmp_path):
+    """--fused-blocks N serves through the fused-prefix vgg model (XLA
+    fallback on CPU; the Pallas path is certified on TPU by
+    scripts/profile_fused_conv.py)."""
+    from torch_ekpose_tpu.cli.run_image import main
+
+    out = str(tmp_path / "out_fused.jpg")
+    main([
+        "-m", "vgg2016", "-i", tiny_image, "-o", out,
+        "--fused-blocks", "2", "--dest-size", "128",
+    ])
+    assert os.path.exists(out)
+
+
 def test_run_image_cli_spatial_mesh(tiny_image, tmp_path):
     """--num-devices N runs the height-sharded (sp) estimator end to
     end; vgg family since sp targets the dense-conv flagship."""

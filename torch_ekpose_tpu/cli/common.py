@@ -67,6 +67,12 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         "-d short form — that's taken by --datasets in train/eval)",
     )
     parser.add_argument(
+        "--fused-blocks", type=int, default=0, choices=[0, 1, 2, 3],
+        help="run the first N VGG19 blocks through the fused Pallas "
+        "conv-chain kernel (TPU inference only; vgg family; same "
+        "checkpoint tree — see ops/pallas_conv.py)",
+    )
+    parser.add_argument(
         "--dest-size", type=int, default=368,
         help="inference resolution: the long image side is resized to "
         "this before padding (the reference hard-codes 368)",
@@ -163,4 +169,5 @@ def build_estimator(
         decode_backend=args.decode_backend,
         compute_dtype=_compute_dtype(args.dtype),
         dest_size=getattr(args, "dest_size", 368),
+        fused_blocks=getattr(args, "fused_blocks", 0),
     )

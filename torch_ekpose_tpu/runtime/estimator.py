@@ -119,6 +119,7 @@ class PoseEstimator:
         dest_size: int = 368,
         compute_dtype=jnp.bfloat16,
         fuse_decode: bool = True,
+        fused_blocks: int = 0,
     ):
         self.config = config or default_cfg
         self.model_name = model_name
@@ -140,7 +141,13 @@ class PoseEstimator:
                 )
             variables = quantize_variables(variables, self.model)
         else:
-            self.model = get_model(model_name, dtype=compute_dtype)
+            # fused_blocks routes the first N VGG19 blocks through the
+            # single-pass Pallas conv-chain kernel (ops/pallas_conv.py);
+            # the parameter tree is identical, so checkpoints are
+            # unaffected. Inference-only, vgg family only.
+            self.model = get_model(
+                model_name, dtype=compute_dtype, fused_blocks=fused_blocks
+            )
             if variables is None:
                 _, variables = init_model(
                     model_name, input_shape=(1, 64, 64, 3),
