@@ -6,8 +6,11 @@ frames, results packed into one buffer per batch. ONE fused XLA program
 per batch: preprocess + forward + decode + the chain scalar. (Earlier
 rounds ran forward and decode as two chained programs because fusing
 them compiled for minutes; once the decoder's gathers became one-hot
-contractions the fused pair compiles in normal time and runs ~20%
-faster — the decode rides in the forward program's shadow.)
+contractions the fused pair compiles in normal time and measures ~2%
+faster than the chained pair — 373 vs 366 fps. An apparent ~20% gain
+was a measurement artifact: a profiling program that returned only a
+scalar derived from packed[0,0] let XLA dead-code-eliminate the decode
+stage. This bench returns the full packed buffer, so nothing is DCE'd.)
 
 Batch 8 is where per-chip throughput saturates on v5e (measured sweep in
 docs/PERF.md). Prints ONE JSON line:
@@ -49,6 +52,11 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
     model, variables = init_model(
         "vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfloat16
     )
+    # NOT s2d_blocks=1: the space-to-depth block-1 decomposition wins in
+    # isolation (4.9 vs 6.0 ms, scripts/profile_s2d.py) but measures
+    # ~0.6 ms SLOWER inside the full fused pipeline program (same-process
+    # A/B, 2 reps) — the parity repack materializations beat the conv
+    # gain once XLA schedules the whole program. docs/PERF.md has both.
     variables = cast_params(variables, jnp.bfloat16)
     packed_decoder = decode_device.build_packed_decoder(cfg, batched=True)
 

@@ -19,7 +19,11 @@ from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--dtype", choices=["bfloat16", "int8"], default="bfloat16")
-dtype_arg = ap.parse_args().dtype
+ap.add_argument("--batches", type=str, default="1,4,8,16,32",
+                help="comma-separated batch sizes to sweep")
+_args = ap.parse_args()
+dtype_arg = _args.dtype
+batch_sizes = tuple(int(s) for s in _args.batches.split(","))
 
 h, w = 368, 432
 cfg = get_default_config()
@@ -39,26 +43,30 @@ def infer_batch(variables, frames):
 
 rng = np.random.default_rng(0)
 out = {}
-for b in (1, 4, 8, 16, 32):
+for b in batch_sizes:
     frames = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)), jnp.uint8)
 
     # Honest timing through the device tunnel (same pattern as bench.py):
     # chain each call's input on the previous call's output via a zero
     # scalar so call k+1 cannot run before call k finishes, and stop the
     # clock on a real value fetch — block_until_ready has returned before
-    # queued work executed under tunnel congestion.
+    # queued work executed under tunnel congestion. The FULL result must
+    # be a program output: returning only the derived scalar lets XLA
+    # dead-code-eliminate whatever doesn't feed packed[0,0] (measured:
+    # the decode stage vanished, inflating batch-8 fps 446 vs the true
+    # 373 — cost_analysis showed 2262 vs 2441 GFLOP).
     @jax.jit
     def chained(variables, frames, tweak):
         r = infer_batch(variables, frames + tweak)
         leaf = jax.tree_util.tree_leaves(r)[0]
-        return (leaf.ravel()[0] * 0).astype(jnp.uint8)
+        return r, (leaf.ravel()[0] * 0).astype(jnp.uint8)
 
-    tweak = chained(variables, frames, jnp.uint8(0))
+    _, tweak = chained(variables, frames, jnp.uint8(0))
     int(jax.device_get(tweak))
     n = max(2, 400 // b)
     t0 = time.perf_counter()
     for _ in range(n):
-        tweak = chained(variables, frames, tweak)
+        _, tweak = chained(variables, frames, tweak)
     final = int(jax.device_get(tweak))
     dt = time.perf_counter() - t0
     assert final == 0, final

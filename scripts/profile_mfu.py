@@ -49,15 +49,21 @@ def bench(fn, *args, n=30, chain=0):
         a[chain] = a[chain] + tweak.astype(a[chain].dtype)
         out = fn(*a)
         leaf = jax.tree.leaves(out)[0]
-        return (leaf.ravel()[0] * 0).astype(jnp.float32)
+        # Return the FULL output alongside the chain scalar: returning
+        # only the derived scalar lets XLA dead-code-eliminate any work
+        # that doesn't feed output element [0] (measured: the decode
+        # stage vanished from a scalar-only pipeline program — 2262 vs
+        # 2441 GFLOP in cost_analysis — inflating fps by ~20%).
+        return out, (leaf.ravel()[0] * 0).astype(jnp.float32)
 
     jfn = jax.jit(wrapped)
-    tweak = jax.block_until_ready(jfn(jnp.asarray(0.0, jnp.float32), *args))
+    _, tweak = jfn(jnp.asarray(0.0, jnp.float32), *args)
+    jax.block_until_ready(tweak)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n):
-            tweak = jfn(tweak, *args)
+            _, tweak = jfn(tweak, *args)
         final = float(jax.device_get(tweak))  # real fetch ends the clock
         times.append((time.perf_counter() - t0) / n)
         if final != 0.0:

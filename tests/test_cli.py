@@ -42,16 +42,16 @@ def test_run_image_cli_analyze(tiny_image, tmp_path):
     assert os.path.exists(str(tmp_path / "out_analyze.jpg"))
 
 
-def test_run_image_cli_fused_blocks(tiny_image, tmp_path):
-    """--fused-blocks N serves through the fused-prefix vgg model (XLA
-    fallback on CPU; the Pallas path is certified on TPU by
-    scripts/profile_fused_conv.py)."""
+def test_run_image_cli_s2d_blocks(tiny_image, tmp_path):
+    """--s2d-blocks N serves through the space-to-depth-prefix vgg
+    model (exact on every backend; A/Bed on TPU by
+    scripts/profile_s2d.py)."""
     from torch_ekpose_tpu.cli.run_image import main
 
-    out = str(tmp_path / "out_fused.jpg")
+    out = str(tmp_path / "out_s2d.jpg")
     main([
         "-m", "vgg2016", "-i", tiny_image, "-o", out,
-        "--fused-blocks", "2", "--dest-size", "128",
+        "--s2d-blocks", "2", "--dest-size", "128",
     ])
     assert os.path.exists(out)
 

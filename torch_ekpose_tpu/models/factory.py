@@ -24,11 +24,11 @@ from torch_ekpose_tpu.models.shufflenet_v2 import ShuffleNetV2Backbone
 from torch_ekpose_tpu.models.vgg import VGG19Backbone
 
 
-def _vgg(dtype, quantize: bool = False, fused_blocks: int = 0) -> OpenPose:
+def _vgg(dtype, quantize: bool = False, s2d_blocks: int = 0) -> OpenPose:
     return OpenPose(
         backbone=functools.partial(
             VGG19Backbone, dtype=dtype, quantize=quantize,
-            fused_blocks=fused_blocks,
+            s2d_blocks=s2d_blocks,
         ),
         head=functools.partial(
             CpmHead, branch="vgg", dtype=dtype, quantize=quantize
@@ -96,7 +96,7 @@ MODEL_REGISTRY = {
 
 def get_model(
     model_name: str = "vgg2016", dtype=jnp.float32, quantize: bool = False,
-    fused_blocks: int = 0,
+    s2d_blocks: int = 0,
 ) -> OpenPose:
     """Build an OpenPose network by name.
 
@@ -122,13 +122,13 @@ def get_model(
                 f"depthwise-separable convs; run it in bfloat16)"
             )
         return builder(dtype, quantize=True)
-    if fused_blocks:
+    if s2d_blocks:
         if builder is not _vgg:
             raise ValueError(
-                "fused_blocks applies to the vgg family only "
+                "s2d_blocks applies to the vgg family only "
                 f"(requested {model_name!r})"
             )
-        return builder(dtype, fused_blocks=fused_blocks)
+        return builder(dtype, s2d_blocks=s2d_blocks)
     return builder(dtype)
 
 

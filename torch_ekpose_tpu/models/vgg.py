@@ -26,7 +26,7 @@ class _ConvParams(nn.Module):
     Declares exactly the tree a ``ConvBlock(name=f"conv_{i}")`` would —
     ``conv_{i}/conv/{kernel,bias}`` with the same shapes and inits — so
     checkpoints convert/restore identically whether the block runs
-    through flax convs or the fused Pallas kernel.
+    through flax convs or the space-to-depth decomposition.
     """
 
     features: int
@@ -61,30 +61,31 @@ class VGG19Backbone(nn.Module):
     #: (conv_0 reads raw normalized pixels and is a negligible FLOP
     #: share — standard PTQ practice keeps it high-precision)
     quantize: bool = False
-    #: fuse the first N pooled blocks (N in 0..3) into single-pass Pallas
-    #: conv-chain kernels (ops/pallas_conv.py) — the low-channel
+    #: run the first N pooled blocks (N in 0..3) through the weight-exact
+    #: space-to-depth decomposition (ops/s2d_conv.py) — the low-channel
     #: full-resolution prefix where XLA's conv emitter runs at 1-13% of
-    #: MXU peak (docs/PERF.md). INFERENCE ONLY: the kernel defines no
-    #: VJP, so training and quantized serving keep the flax convs. The
-    #: parameter tree is identical either way.
-    fused_blocks: int = 0
+    #: MXU peak (docs/PERF.md; measured win on v5e for block 1, N=1).
+    #: Pure XLA, differentiable, works on every backend; the parameter
+    #: tree is identical either way. Skipped under int8 serving (the
+    #: rearranged kernels would need their own quantization scales).
+    s2d_blocks: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from torch_ekpose_tpu.ops.pallas_conv import conv_chain
+        from torch_ekpose_tpu.ops.s2d_conv import s2d_conv_chain
 
-        fused = 0 if self.quantize else min(self.fused_blocks, 3)
+        s2d = 0 if self.quantize else min(self.s2d_blocks, 3)
         torch_idx = 0  # index into the torch nn.Sequential for ckpt mapping
         in_feats = x.shape[-1]
         for block_i, (n_convs, feats) in enumerate(VGG19_PLAN):
-            if block_i < fused:
+            if block_i < s2d:
                 params = []
                 for _ in range(n_convs):
                     params.append(_ConvParams(
                         feats, in_feats, name=f"conv_{torch_idx}")())
                     in_feats = feats
                     torch_idx += 2
-                x = conv_chain(x.astype(self.dtype), params, pool=True)
+                x = s2d_conv_chain(x.astype(self.dtype), params, pool=True)
                 torch_idx += 1
                 continue
             for _ in range(n_convs):

@@ -119,7 +119,7 @@ class PoseEstimator:
         dest_size: int = 368,
         compute_dtype=jnp.bfloat16,
         fuse_decode: bool = True,
-        fused_blocks: int = 0,
+        s2d_blocks: int = 0,
     ):
         self.config = config or default_cfg
         self.model_name = model_name
@@ -141,12 +141,12 @@ class PoseEstimator:
                 )
             variables = quantize_variables(variables, self.model)
         else:
-            # fused_blocks routes the first N VGG19 blocks through the
-            # single-pass Pallas conv-chain kernel (ops/pallas_conv.py);
+            # s2d_blocks routes the first N VGG19 blocks through the
+            # weight-exact space-to-depth decomposition (ops/s2d_conv.py);
             # the parameter tree is identical, so checkpoints are
-            # unaffected. Inference-only, vgg family only.
+            # unaffected. vgg family only.
             self.model = get_model(
-                model_name, dtype=compute_dtype, fused_blocks=fused_blocks
+                model_name, dtype=compute_dtype, s2d_blocks=s2d_blocks
             )
             if variables is None:
                 _, variables = init_model(
