@@ -20,8 +20,11 @@ def test_bench_main_prints_contract_json(capsys):
     payload = json.loads(lines[0])
     assert set(payload) == {
         "metric", "value", "unit", "vs_baseline", "baseline_provisional",
-        "decode_parity", "mfu",
+        "decode_parity", "mfu", "int8_fps",
     }
+    # the int8 secondary sweep must have run (its quantized forward
+    # works on every backend)
+    assert payload["int8_fps"] and payload["int8_fps"] > 0
     assert payload["baseline_provisional"] is True
     # on the CPU backend the decoder runs its XLA fallback path; the
     # bench certifies whichever path the current device executes
