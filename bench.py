@@ -129,18 +129,30 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
             raise RuntimeError(f"chain scalar should be 0, got {final}")
         fps = max(fps, n * b / dt)
 
-    # secondary metric: the int8 quantized serving mode (--dtype int8 on
-    # the CLIs; models/quant.py) through the same fused pipeline. The
-    # quantized model approximates the f32 network (cosine > 0.99,
+    # secondary metric: the int8 quantized serving mode with CALIBRATED
+    # static activation scales (--dtype int8_static on the CLIs;
+    # models/quant.py) through the same fused pipeline. The quantized
+    # model approximates the f32 network (cosine > 0.99,
     # tests/test_quantize.py), so it does NOT replace the exact-model
     # headline — but it is the fastest production serving path measured
-    # (474 vs 373 fps at batch 8 on v5e, docs/PERF.md).
+    # (489 static / 474 dynamic vs 373 bf16 fps at batch 8 on v5e,
+    # docs/PERF.md). Calibration inputs here are the bench frames
+    # themselves; scale VALUES don't affect speed.
     int8_fps = None
     try:
-        from torch_ekpose_tpu.models import get_model, quantize_variables
+        from torch_ekpose_tpu.models import (
+            calibrate_act_scales,
+            get_model,
+            quantize_variables,
+        )
 
-        qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
-        qvariables = quantize_variables(variables, qmodel)
+        dyn_qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+        qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
+        qvariables = quantize_variables(variables, dyn_qmodel)
+        calib = jax.jit(
+            jax.vmap(lambda f: preprocess_jax(f, "vgg"))
+        )(batches[0])
+        qvariables = calibrate_act_scales(qvariables, dyn_qmodel, [calib])
 
         @jax.jit
         def infer_q(qvariables, frames, tweak):

@@ -18,7 +18,8 @@ from torch_ekpose_tpu.decode import device as decode_device
 from torch_ekpose_tpu.runtime.estimator import preprocess_jax
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--dtype", choices=["bfloat16", "int8"], default="bfloat16")
+ap.add_argument("--dtype", choices=["bfloat16", "int8", "int8_static"],
+                default="bfloat16")
 ap.add_argument("--batches", type=str, default="1,4,8,16,32",
                 help="comma-separated batch sizes to sweep")
 _args = ap.parse_args()
@@ -31,6 +32,19 @@ model, variables = init_model("vgg2016", input_shape=(1, h, w, 3), dtype=jnp.bfl
 if dtype_arg == "int8":
     model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
     variables = quantize_variables(variables, model)
+elif dtype_arg == "int8_static":
+    # calibrated static activation scales (models/quant.py): calibrate
+    # on one random frame batch — scale VALUES don't affect speed
+    from torch_ekpose_tpu.models import calibrate_act_scales
+
+    dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    model = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
+    variables = quantize_variables(variables, dyn_model)
+    calib = jax.vmap(lambda f: preprocess_jax(f, "vgg"))(
+        jnp.asarray(np.random.default_rng(1).integers(
+            0, 255, (2, h, w, 3)), jnp.uint8)
+    )
+    variables = calibrate_act_scales(variables, dyn_model, [calib])
 else:
     variables = cast_params(variables, jnp.bfloat16)
 packed_decoder = decode_device.build_packed_decoder(cfg, batched=True)

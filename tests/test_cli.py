@@ -102,6 +102,45 @@ def test_export_cli_int8_chain(vgg_model_and_vars, tiny_image, tmp_path):
     assert os.path.exists(out)
 
 
+def test_export_cli_int8_static_chain(vgg_model_and_vars, tiny_image, tmp_path):
+    """cli.export --dtype int8_static calibrates static activation
+    scales on --calib-images; the serving CLI then loads the calibrated
+    msgpack with --dtype int8_static and skips runtime calibration."""
+    import jax
+
+    from torch_ekpose_tpu.cli.export import main as export_main
+    from torch_ekpose_tpu.cli.run_image import main as run_image_main
+    from torch_ekpose_tpu.models import has_act_scales
+    from torch_ekpose_tpu.runtime.checkpoint import save_checkpoint
+
+    _, variables = vgg_model_and_vars
+    float_ckpt = str(tmp_path / "vgg.msgpack")
+    save_checkpoint(
+        float_ckpt, jax.tree.map(np.asarray, dict(variables))
+    )
+
+    static_ckpt = str(tmp_path / "vgg_int8_static.msgpack")
+    export_main([
+        "-m", "vgg2016", "-c", float_ckpt, "--dtype", "int8_static",
+        "--calib-images", tiny_image, "--dest-size", "96",
+        "-o", static_ckpt,
+    ])
+    assert os.path.exists(static_ckpt)
+
+    # the saved tree carries calibrated act_scale leaves
+    from torch_ekpose_tpu.cli.common import load_variables
+
+    restored = load_variables("vgg2016", static_ckpt, quantized="static")
+    assert has_act_scales(restored["params"])
+
+    out = str(tmp_path / "out_int8_static.jpg")
+    run_image_main([
+        "-m", "vgg2016", "-c", static_ckpt, "--dtype", "int8_static",
+        "-i", tiny_image, "-o", out, "--dest-size", "96",
+    ])
+    assert os.path.exists(out)
+
+
 def test_export_cli_to_torch(vgg_model_and_vars, tmp_path):
     """--to-torch writes a reference-format state_dict torch can read
     back (the reference loader strips the module. prefix)."""

@@ -164,6 +164,121 @@ def test_int8_checkpoint_roundtrip(vgg_model_and_vars, tmp_path):
 def test_quantize_rejects_ds_family():
     with pytest.raises(ValueError, match="vgg family"):
         get_model("mobilenetV2_small", quantize=True)
+    with pytest.raises(ValueError, match="vgg family"):
+        get_model("mobilenetV2_small", quantize="static")
+
+
+def test_static_scales_calibrate_to_observed_absmax(vgg_model_and_vars):
+    """calibrate_act_scales writes max|input|/127 per quantized conv —
+    calibrating on one batch then forwarding that same batch through the
+    static model reproduces the dynamic model's output almost exactly
+    (the scales are identical up to one float rounding)."""
+    from torch_ekpose_tpu.models import calibrate_act_scales
+
+    _, variables = vgg_model_and_vars
+    dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    static_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
+    qvars = quantize_variables(variables, dyn_model)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    svars = calibrate_act_scales(qvars, dyn_model, [x])
+
+    # every quantized conv gained a positive scalar act_scale
+    scales = [
+        leaf for path, leaf in jax.tree_util.tree_flatten_with_path(
+            svars["params"]
+        )[0] if "act_scale" in jax.tree_util.keystr(path)
+    ]
+    assert len(scales) > 50  # vgg2016 quantizes most of its ~80 convs
+    assert all(np.asarray(s).shape == () and float(s) > 0 for s in scales)
+
+    (dpaf, dht), _ = dyn_model.apply(qvars, x, train=False)
+    (spaf, sht), _ = static_model.apply(svars, x, train=False)
+    for a, b in ((dpaf, spaf), (dht, sht)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.999, cos
+
+
+def test_static_forward_close_to_f32(vgg_model_and_vars):
+    """End-to-end: the calibrated static-scale int8 forward stays close
+    to the f32 forward (same bar as the dynamic mode)."""
+    from torch_ekpose_tpu.models import calibrate_act_scales
+
+    model, variables = vgg_model_and_vars
+    dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    static_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
+    qvars = quantize_variables(variables, dyn_model)
+
+    calib = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    svars = calibrate_act_scales(qvars, dyn_model, [calib])
+
+    x = calib[:1]
+    (paf, ht), _ = model.apply(variables, x, train=False)
+    (qpaf, qht), _ = static_model.apply(svars, x, train=False)
+    for a, b in ((paf, qpaf), (ht, qht)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.99, cos
+
+
+def test_estimator_int8_static_auto_calibrates(vgg_model_and_vars):
+    """int8_static serving: the estimator calibrates on the first frame,
+    swaps in calibrated scales, and keeps serving."""
+    from torch_ekpose_tpu.models import has_act_scales
+    from torch_ekpose_tpu.runtime import PoseEstimator
+
+    _, variables = vgg_model_and_vars
+    est = PoseEstimator(
+        model_name="vgg2016", variables=variables,
+        compute_dtype="int8_static", dest_size=64,
+    )
+    assert est._needs_calib
+    img = np.random.default_rng(4).integers(
+        0, 255, (48, 64, 3)
+    ).astype(np.uint8)
+    humans, im_scale = est.estimate(img)
+    assert isinstance(humans, list) and im_scale == 1.0
+    assert not est._needs_calib
+    assert has_act_scales(est.variables["params"])
+    # a second frame serves through the calibrated compiled program
+    humans2, _ = est.estimate(img)
+    assert isinstance(humans2, list)
+
+
+def test_int8_static_checkpoint_roundtrip(vgg_model_and_vars, tmp_path):
+    """Calibrate once offline, save, serve: act_scale leaves survive the
+    msgpack roundtrip and the estimator skips re-calibration."""
+    from torch_ekpose_tpu.models import calibrate_act_scales
+    from torch_ekpose_tpu.runtime import PoseEstimator
+    from torch_ekpose_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    _, variables = vgg_model_and_vars
+    dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    qvars = quantize_variables(variables, dyn_model)
+    svars = calibrate_act_scales(
+        qvars, dyn_model,
+        [jax.random.normal(jax.random.PRNGKey(9), (1, 64, 64, 3))],
+    )
+
+    path = str(tmp_path / "vgg_int8_static.msgpack")
+    save_checkpoint(path, svars)
+    template = jax.tree.map(np.zeros_like, jax.tree.map(np.asarray, svars))
+    restored = load_checkpoint(path, template)
+
+    est = PoseEstimator(
+        model_name="vgg2016", variables=restored,
+        compute_dtype="int8_static", dest_size=64,
+    )
+    assert not est._needs_calib  # calibrated tree detected
+    img = np.full((64, 64, 3), 127, np.uint8)
+    humans, _ = est.estimate(img)
+    assert isinstance(humans, list)
 
 
 def test_quantize_variables_on_device_tree():

@@ -55,10 +55,13 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--dtype", type=str, default="bfloat16",
-        choices=["bfloat16", "float32", "int8"],
+        choices=["bfloat16", "float32", "int8", "int8_static"],
         help="activation compute dtype (params stay float32); int8 = "
         "quantized serving mode (vgg family only: int8 weights + "
-        "dynamic activation scales, bf16 elsewhere)",
+        "dynamic activation scales, bf16 elsewhere); int8_static = "
+        "calibrated static activation scales (fastest batch-1 path; "
+        "calibrates on the first frame unless the checkpoint was "
+        "exported with cli.export --dtype int8_static)",
     )
     parser.add_argument(
         "--platform", type=str, default="auto",
@@ -81,11 +84,12 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
 
 
 def load_variables(
-    model_name: str, ckpt: Optional[str], quantized: bool = False
+    model_name: str, ckpt: Optional[str], quantized=False
 ):
-    """``quantized=True`` restores a pre-quantized int8 msgpack (its
-    tree has kernel_q/scale leaves, so the float template can't
-    receive it)."""
+    """``quantized`` truthy restores a pre-quantized int8 msgpack (its
+    tree has kernel_q/scale leaves, so the float template can't receive
+    it); pass ``"static"`` when the msgpack was exported with calibrated
+    ``act_scale`` leaves (cli.export --dtype int8_static)."""
     if ckpt is None:
         print("WARNING: no checkpoint given; using random initialization")
         _, variables = init_model(model_name, input_shape=(1, 64, 64, 3))
@@ -101,7 +105,7 @@ def load_variables(
 
         from torch_ekpose_tpu.models import get_model
 
-        qmodel = get_model(model_name, quantize=True)
+        qmodel = get_model(model_name, quantize=quantized)
         shapes = jax.eval_shape(
             functools.partial(qmodel.init, train=False),
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
@@ -115,10 +119,10 @@ def load_variables(
 
 
 def _compute_dtype(name: str):
-    """--dtype string -> PoseEstimator compute_dtype ("int8" passes
-    through as the quantized-mode sentinel)."""
-    if name == "int8":
-        return "int8"
+    """--dtype string -> PoseEstimator compute_dtype ("int8" and
+    "int8_static" pass through as quantized-mode sentinels)."""
+    if name in ("int8", "int8_static"):
+        return name
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
@@ -131,6 +135,13 @@ def build_model_and_variables(args):
 
     apply_platform(getattr(args, "platform", "auto"))
     report_devices()
+    if args.dtype == "int8_static":
+        raise NotImplementedError(
+            "the mesh-sharded CLI paths serve --dtype int8 (dynamic "
+            "scales); for static scales export a calibrated checkpoint "
+            "first (cli.export --dtype int8_static) and serve it through "
+            "the single-device estimator paths"
+        )
     if args.dtype == "int8":
         model = get_model(args.model, dtype=jnp.bfloat16, quantize=True)
         try:
@@ -158,10 +169,13 @@ def build_estimator(
     try:
         variables = load_variables(args.model, args.ckpt)
     except (KeyError, ValueError):
-        if args.dtype != "int8":
+        if args.dtype not in ("int8", "int8_static"):
             raise
-        # a pre-quantized msgpack (cli.export --dtype int8)
-        variables = load_variables(args.model, args.ckpt, quantized=True)
+        # a pre-quantized msgpack (cli.export --dtype int8/int8_static)
+        variables = load_variables(
+            args.model, args.ckpt,
+            quantized="static" if args.dtype == "int8_static" else True,
+        )
     return PoseEstimator(
         model_name=args.model,
         variables=variables,

@@ -9,6 +9,11 @@
     python -m torch_ekpose_tpu.cli.export -m vgg2016 -c ckpt.pth \
         --dtype int8 -o vgg2016_int8.msgpack
 
+    # int8 with CALIBRATED static activation scales (the fastest
+    # batch-1 serving path; then: run_image/serve --dtype int8_static)
+    python -m torch_ekpose_tpu.cli.export -m vgg2016 -c ckpt.pth \
+        --dtype int8_static --calib-images demo/ -o vgg2016_int8s.msgpack
+
     # native msgpack back to the reference's torch state_dict format
     python -m torch_ekpose_tpu.cli.export -m vgg2016 -c ours.msgpack \
         --to-torch -o theirs.pth
@@ -35,10 +40,19 @@ def main(argv=None) -> None:
                         "format or .msgpack native)")
     parser.add_argument("-o", "--output", type=str, required=True)
     parser.add_argument("--dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16", "int8"],
+                        choices=["float32", "bfloat16", "int8",
+                                 "int8_static"],
                         help="parameter dtype of the exported native "
                         "checkpoint (int8 = quantize once for the "
-                        "serving mode; ignored with --to-torch)")
+                        "serving mode; int8_static additionally "
+                        "calibrates static activation scales on "
+                        "--calib-images; ignored with --to-torch)")
+    parser.add_argument("--calib-images", type=str, default=None,
+                        help="image file or directory for int8_static "
+                        "calibration (representative production frames)")
+    parser.add_argument("--dest-size", type=int, default=368,
+                        help="inference resolution the calibration "
+                        "frames are padded to (match serving)")
     parser.add_argument("--to-torch", action="store_true",
                         help="write a reference-format torch "
                         "state_dict instead of a native msgpack")
@@ -68,6 +82,10 @@ def main(argv=None) -> None:
 
         qmodel = get_model(args.model, quantize=True)
         variables = quantize_variables(variables, qmodel)
+    elif args.dtype == "int8_static":
+        if args.calib_images is None:
+            parser.error("--dtype int8_static requires --calib-images")
+        variables = _quantize_static(args, variables)
     elif args.dtype == "bfloat16":
         from torch_ekpose_tpu.models import cast_params
         import jax.numpy as jnp
@@ -81,6 +99,40 @@ def main(argv=None) -> None:
         f"INFO: wrote {args.dtype} checkpoint "
         f"({n_bytes / 1e6:.1f} MB of params) -> {args.output}"
     )
+
+
+def _quantize_static(args, variables):
+    """Quantize + calibrate static activation scales on real frames.
+
+    Each calibration image goes through the exact serving preprocessing
+    (resize-long-side + pad, runtime.estimator.padding) so the measured
+    activation ranges match production traffic at --dest-size.
+    """
+    import os
+
+    from torch_ekpose_tpu.evaluate.evaluator import read_image_bgr
+    from torch_ekpose_tpu.runtime.estimator import PoseEstimator, padding
+
+    path = args.calib_images
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )
+    else:
+        paths = [path]
+    if not paths:
+        raise SystemExit(f"no calibration images found under {path!r}")
+    est = PoseEstimator(
+        model_name=args.model, variables=variables,
+        compute_dtype="int8_static", dest_size=args.dest_size,
+    )
+    est.calibrate(
+        padding(read_image_bgr(p), args.dest_size)[0] for p in paths
+    )
+    print(f"INFO: calibrated static int8 scales on {len(paths)} image(s)")
+    return est.variables
 
 
 if __name__ == "__main__":

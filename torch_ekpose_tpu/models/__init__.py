@@ -5,9 +5,15 @@ from torch_ekpose_tpu.models.factory import (
     init_model,
 )
 from torch_ekpose_tpu.models.heads import CpmHead, OpenPose
-from torch_ekpose_tpu.models.quant import QuantConv, quantize_variables
+from torch_ekpose_tpu.models.quant import (
+    QuantConv,
+    calibrate_act_scales,
+    has_act_scales,
+    quantize_variables,
+)
 
 __all__ = [
     "MODEL_REGISTRY", "cast_params", "get_model", "init_model",
-    "CpmHead", "OpenPose", "QuantConv", "quantize_variables",
+    "CpmHead", "OpenPose", "QuantConv", "calibrate_act_scales",
+    "has_act_scales", "quantize_variables",
 ]

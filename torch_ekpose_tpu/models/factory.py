@@ -24,7 +24,7 @@ from torch_ekpose_tpu.models.shufflenet_v2 import ShuffleNetV2Backbone
 from torch_ekpose_tpu.models.vgg import VGG19Backbone
 
 
-def _vgg(dtype, quantize: bool = False, s2d_blocks: int = 0) -> OpenPose:
+def _vgg(dtype, quantize: Any = False, s2d_blocks: int = 0) -> OpenPose:
     return OpenPose(
         backbone=functools.partial(
             VGG19Backbone, dtype=dtype, quantize=quantize,
@@ -95,7 +95,7 @@ MODEL_REGISTRY = {
 
 
 def get_model(
-    model_name: str = "vgg2016", dtype=jnp.float32, quantize: bool = False,
+    model_name: str = "vgg2016", dtype=jnp.float32, quantize: Any = False,
     s2d_blocks: int = 0,
 ) -> OpenPose:
     """Build an OpenPose network by name.
@@ -104,9 +104,12 @@ def get_model(
     float32. Raises KeyError with the known names on a typo (the reference
     silently returns None, networks.py:10-68).
 
-    ``quantize=True`` builds the int8 serving variant (dense-conv "vgg"
-    family only — see :mod:`torch_ekpose_tpu.models.quant`); convert a
-    float tree for it with :func:`models.quant.quantize_variables`.
+    ``quantize=True`` builds the int8 serving variant with dynamic
+    activation scales; ``quantize="static"`` the variant with calibrated
+    per-layer ``act_scale`` parameters (dense-conv "vgg" family only —
+    see :mod:`torch_ekpose_tpu.models.quant`). Convert a float tree with
+    :func:`models.quant.quantize_variables`, and calibrate static scales
+    with :func:`models.quant.calibrate_act_scales`.
     """
     try:
         builder = MODEL_REGISTRY[model_name]
@@ -121,7 +124,7 @@ def get_model(
                 f"only, not {model_name!r} (its FLOPs sit in BN-folded "
                 f"depthwise-separable convs; run it in bfloat16)"
             )
-        return builder(dtype, quantize=True)
+        return builder(dtype, quantize=quantize)
     if s2d_blocks:
         if builder is not _vgg:
             raise ValueError(

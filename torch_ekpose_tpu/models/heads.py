@@ -47,8 +47,9 @@ class VggBranch(nn.Module):
     dtype: Dtype = jnp.float32
     #: int8 serving mode: quantize the relu convs (where the 7x7 FLOPs
     #: are); the final 1x1 projection stays bf16 — it writes the
-    #: PAF/heatmap values the decoder reads directly
-    quantize: bool = False
+    #: PAF/heatmap values the decoder reads directly.
+    #: False | True (dynamic activation scales) | "static" (calibrated)
+    quantize: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -107,7 +108,7 @@ class CpmHead(nn.Module):
     paf_channels: int = constants.NUM_PAF_CHANNELS
     heatmap_channels: int = constants.NUM_HEATMAP_CHANNELS
     dtype: Dtype = jnp.float32
-    quantize: bool = False  # int8 serving mode ("vgg" branch only)
+    quantize: Any = False  # int8 mode ("vgg" only): False | True | "static"
 
     def _branch(self, out_channels: int, first_stage: bool, name: str):
         if self.branch == "vgg":

@@ -45,8 +45,9 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Any = kaiming_out
     #: swap the conv for an int8-weight QuantConv (see models/quant.py);
-    #: the surrounding act stays identical, the param path stays "conv"
-    quantize: bool = False
+    #: the surrounding act stays identical, the param path stays "conv".
+    #: False | True (dynamic activation scales) | "static" (calibrated)
+    quantize: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,6 +60,7 @@ class ConvBlock(nn.Module):
                 stride=self.stride,
                 use_bias=self.use_bias,
                 dtype=self.dtype,
+                static_act=self.quantize == "static",
                 name="conv",
             )(x)
         else:

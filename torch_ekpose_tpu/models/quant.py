@@ -13,6 +13,19 @@ first convolution and each branch's final 1x1 projection stay in the
 bfloat16 path: the input conv is a negligible share of the FLOPs and
 the projections set the decoded peak values directly.
 
+Two activation-scale modes:
+
+- **dynamic** (``get_model(..., quantize=True)``): per-example scale
+  ``max|x|/127`` computed inside the program. No calibration needed,
+  but every conv serializes behind a full-tensor reduction — at batch 1
+  the reductions dominate and throughput collapses (46 vs 299 bf16 fps
+  on v5e, docs/PERF.md).
+- **static** (``get_model(..., quantize="static")``): per-layer scalar
+  ``act_scale`` parameters measured once on representative inputs by
+  :func:`calibrate_act_scales` (standard post-training calibration).
+  No reductions in the serving program. Out-of-calibration-range
+  activations clip, so calibrate on data matching production traffic.
+
 The reference has no quantized path at all (its serving story is the
 fp32 torch model, lib/evaluate/estimator.py); this mode is
 beyond-parity. Scope: the "vgg" branch/backbone family (vgg2016). The
@@ -32,7 +45,12 @@ import numpy as np
 
 from torch_ekpose_tpu.models.layers import Dtype
 
-__all__ = ["QuantConv", "quantize_variables"]
+__all__ = [
+    "QuantConv",
+    "calibrate_act_scales",
+    "has_act_scales",
+    "quantize_variables",
+]
 
 
 #: multiply by the f32 reciprocal instead of dividing by 127: XLA's
@@ -59,10 +77,12 @@ class QuantConv(nn.Module):
 
     Parameters: ``kernel_q`` int8 [H, W, Cin, Cout], ``scale`` float32
     [Cout], optional ``bias`` float32 [Cout]. The activation scale is
-    dynamic per tensor: ``sx = max|x| / 127`` computed inside the same
-    XLA program (one VPU reduction, fused). Accumulation is int32; the
-    result is rescaled by ``sx * scale`` in float32 and cast to
-    ``dtype``.
+    dynamic per tensor by default: ``sx = max|x| / 127`` computed inside
+    the same XLA program (one VPU reduction, fused). With
+    ``static_act=True`` the scale is instead a calibrated scalar
+    parameter ``act_scale`` (see :func:`calibrate_act_scales`) and the
+    program has no reduction. Accumulation is int32; the result is
+    rescaled by ``sx * scale`` in float32 and cast to ``dtype``.
     """
 
     features: int
@@ -70,6 +90,7 @@ class QuantConv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -81,14 +102,27 @@ class QuantConv(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        # per-EXAMPLE activation scale (reduce over H, W, C only): batched
-        # and batch-1 paths then produce identical values for the same
-        # image, so eval results don't depend on bucketing/batch size
         xf = x.astype(jnp.float32)
-        sx = jnp.max(
-            jnp.abs(xf), axis=tuple(range(1, x.ndim)), keepdims=True
-        ) / 127.0
-        sx = jnp.maximum(sx, 1e-12)
+        if self.static_act:
+            # calibrated per-layer scalar: no reduction in the serving
+            # program (the dynamic max|x| reduction serializes every
+            # conv and dominates small/batch-1 programs)
+            act_scale = self.param(
+                "act_scale", nn.initializers.ones, (), jnp.float32
+            )
+            sx = jnp.maximum(act_scale, 1e-12)
+        else:
+            # per-EXAMPLE activation scale (reduce over H, W, C only):
+            # batched and batch-1 paths then produce identical values
+            # for the same image, so eval results don't depend on
+            # bucketing/batch size
+            sx = jnp.max(
+                jnp.abs(xf), axis=tuple(range(1, x.ndim)), keepdims=True
+            ) / 127.0
+            sx = jnp.maximum(sx, 1e-12)
+            # calibration hook: max|x| over the batch, recorded only when
+            # apply() is called with mutable=["intermediates"]
+            self.sow("intermediates", "act_absmax", jnp.max(sx) * 127.0)
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq,
@@ -114,11 +148,19 @@ def _quantize_tree(src, tgt_struct):
     source's ``kernel``; everything else passes through unchanged."""
     if isinstance(tgt_struct, dict) and "kernel_q" in tgt_struct:
         if "kernel_q" in src:  # already quantized (saved int8 ckpt)
-            return dict(src)
-        q, scale = quantize_kernel(src["kernel"])
-        out = {"kernel_q": q, "scale": scale}
-        if "bias" in tgt_struct:
-            out["bias"] = src["bias"]
+            out = dict(src)
+        else:
+            q, scale = quantize_kernel(src["kernel"])
+            out = {"kernel_q": q, "scale": scale}
+            if "bias" in tgt_struct:
+                out["bias"] = src["bias"]
+        if "act_scale" in tgt_struct and "act_scale" not in out:
+            # static-scale model from an uncalibrated source: placeholder
+            # until calibrate_act_scales() measures the real value
+            out["act_scale"] = np.ones((), np.float32)
+        if "act_scale" in out and "act_scale" not in tgt_struct:
+            # calibrated (static) checkpoint loaded into the dynamic model
+            out.pop("act_scale")
         return out
     if isinstance(tgt_struct, dict):
         return {k: _quantize_tree(src[k], v) for k, v in tgt_struct.items()}
@@ -161,3 +203,87 @@ def _plain_dict(tree: Any):
     if hasattr(tree, "items"):
         return {k: _plain_dict(v) for k, v in tree.items()}
     return tree
+
+
+def has_act_scales(params: Any) -> bool:
+    """True if any quantized conv in ``params`` carries a calibrated
+    ``act_scale`` (i.e. the tree belongs to the static-scale model)."""
+    if isinstance(params, dict) or hasattr(params, "items"):
+        return any(
+            k == "act_scale" or has_act_scales(v) for k, v in params.items()
+        )
+    return False
+
+
+def _strip_act_scales(params):
+    """Drop ``act_scale`` leaves so a static-model tree applies cleanly
+    through the dynamic model (used during calibration)."""
+    if isinstance(params, dict):
+        return {
+            k: _strip_act_scales(v)
+            for k, v in params.items()
+            if k != "act_scale"
+        }
+    return params
+
+
+def _insert_act_scales(params, absmax):
+    """Write ``act_scale = max(absmax/127, 1e-12)`` into every quantized
+    conv of ``params``; ``absmax`` is the collected intermediates tree
+    (module paths parallel the param paths)."""
+    if isinstance(params, dict) and "kernel_q" in params:
+        out = dict(params)
+        out["act_scale"] = np.asarray(
+            max(float(absmax["act_absmax"]) / 127.0, 1e-12), np.float32
+        )
+        return out
+    if isinstance(params, dict):
+        return {
+            k: _insert_act_scales(v, absmax[k]) if k in absmax else v
+            for k, v in params.items()
+        }
+    return params
+
+
+def calibrate_act_scales(variables: Dict, dyn_model, inputs) -> Dict:
+    """Measure static activation scales (post-training calibration).
+
+    Runs the DYNAMIC quantized model (``get_model(..., quantize=True)``)
+    over ``inputs`` — an iterable of already-preprocessed model input
+    batches [B, H, W, 3] — collecting each quantized conv's observed
+    ``max|x|`` via flax intermediates, reduced with max across batches.
+    Returns a copy of ``variables`` with per-layer ``act_scale`` leaves
+    (host f32 scalars; only scalars cross the device link) ready for the
+    static model (``get_model(..., quantize="static")``).
+
+    ``variables`` may be the dynamic tree or a static tree with
+    placeholder scales; any existing ``act_scale`` values are recomputed.
+    """
+    params = _plain_dict(variables["params"])
+    calib_vars = dict(variables)
+    calib_vars["params"] = _strip_act_scales(params)
+
+    @jax.jit
+    def run(v, x):
+        _, updates = dyn_model.apply(
+            v, x, train=False, mutable=["intermediates"]
+        )
+        # sow() appends into 1-tuples; unwrap to plain scalars
+        return jax.tree.map(
+            lambda t: t[0],
+            updates["intermediates"],
+            is_leaf=lambda t: isinstance(t, tuple),
+        )
+
+    absmax = None
+    for x in inputs:
+        cur = run(calib_vars, jnp.asarray(x))
+        absmax = (
+            cur if absmax is None else jax.tree.map(jnp.maximum, absmax, cur)
+        )
+    if absmax is None:
+        raise ValueError("calibration needs at least one input batch")
+    absmax = jax.device_get(_plain_dict(absmax))
+    out = dict(variables)
+    out["params"] = _insert_act_scales(params, absmax)
+    return out

@@ -7,6 +7,8 @@ extra 3×3 convs 512→256→128 with ReLU.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -60,7 +62,7 @@ class VGG19Backbone(nn.Module):
     #: int8 serving mode: quantize every conv except the input conv
     #: (conv_0 reads raw normalized pixels and is a negligible FLOP
     #: share — standard PTQ practice keeps it high-precision)
-    quantize: bool = False
+    quantize: Any = False  # False | True (dynamic) | "static"
     #: run the first N pooled blocks (N in 0..3) through the weight-exact
     #: space-to-depth decomposition (ops/s2d_conv.py) — the low-channel
     #: full-resolution prefix where XLA's conv emitter runs at 1-13% of
@@ -91,7 +93,7 @@ class VGG19Backbone(nn.Module):
             for _ in range(n_convs):
                 x = ConvBlock(
                     feats, kernel=3, act="relu", dtype=self.dtype,
-                    quantize=self.quantize and torch_idx > 0,
+                    quantize=self.quantize if torch_idx > 0 else False,
                     name=f"conv_{torch_idx}",
                 )(x, train=train)
                 in_feats = feats

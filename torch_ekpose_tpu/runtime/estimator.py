@@ -32,8 +32,10 @@ from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.decode import api as decode_api
 from torch_ekpose_tpu.decode import device as decode_device
 from torch_ekpose_tpu.models import (
+    calibrate_act_scales,
     cast_params,
     get_model,
+    has_act_scales,
     init_model,
     quantize_variables,
 )
@@ -126,20 +128,36 @@ class PoseEstimator:
         self.preprocess = preprocess
         self.decode_backend = decode_backend
         self.dest_size = dest_size
-        if compute_dtype == "int8":
-            # int8 serving mode: int8 weights + dynamic activation
-            # scales, bf16 everywhere else (models/quant.py). Weight HBM
-            # traffic halves vs bf16 and the convs can ride the MXU's
-            # 2x int8 path.
+        self._needs_calib = False
+        self._calib_model = None
+        if compute_dtype in ("int8", "int8_static"):
+            # int8 serving mode: int8 weights, bf16 everywhere else
+            # (models/quant.py). Weight HBM traffic halves vs bf16 and
+            # the convs can ride the MXU's 2x int8 path. "int8" computes
+            # activation scales dynamically per example; "int8_static"
+            # uses calibrated per-layer scales (no reductions — the fast
+            # batch-1 path), measured by calibrate() or automatically on
+            # the first frame served.
+            static = compute_dtype == "int8_static"
             self.model = get_model(
-                model_name, dtype=jnp.bfloat16, quantize=True
+                model_name, dtype=jnp.bfloat16,
+                quantize="static" if static else True,
             )
             if variables is None:
                 _, variables = init_model(
                     model_name, input_shape=(1, 64, 64, 3),
                     dtype=jnp.bfloat16,
                 )
+            # a tree that already carries act_scale leaves is a
+            # calibrated static checkpoint (cli.export --dtype
+            # int8_static) — don't re-calibrate on arbitrary first frames
+            already_calibrated = has_act_scales(variables.get("params", {}))
             variables = quantize_variables(variables, self.model)
+            if static:
+                self._calib_model = get_model(
+                    model_name, dtype=jnp.bfloat16, quantize=True
+                )
+                self._needs_calib = not already_calibrated
         else:
             # s2d_blocks routes the first N VGG19 blocks through the
             # weight-exact space-to-depth decomposition (ops/s2d_conv.py);
@@ -170,6 +188,41 @@ class PoseEstimator:
         self._fused_cache: Dict[Tuple[int, int], any] = {}
         self._decoder = None
         self._vmapped_decoder = None
+
+    # -- static int8 calibration ------------------------------------------
+
+    def calibrate(self, image_batches) -> None:
+        """Measure static int8 activation scales (``int8_static`` mode)
+        on representative PADDED images — an iterable of [H, W, 3] or
+        [B, H, W, 3] uint8/float arrays. Standard post-training
+        calibration: each quantized conv's scale becomes the max |input|
+        observed across all batches / 127 (models/quant.py). Called
+        automatically with the first served frame if never invoked;
+        calibrate explicitly on production-like frames for best accuracy.
+        """
+        if self._calib_model is None:
+            raise RuntimeError(
+                "calibrate() applies to compute_dtype='int8_static' only"
+            )
+        mode = self.preprocess
+
+        def inputs():
+            for imgs in image_batches:
+                arr = jnp.asarray(imgs)
+                if arr.ndim == 3:
+                    arr = arr[None]
+                yield jax.jit(
+                    jax.vmap(lambda im: preprocess_jax(im, mode))
+                )(arr)
+
+        self.variables = calibrate_act_scales(
+            self.variables, self._calib_model, inputs()
+        )
+        self._needs_calib = False
+
+    def _maybe_calibrate(self, images: np.ndarray) -> None:
+        if self._needs_calib:
+            self.calibrate([images])
 
     # -- compiled program builders (one per padded input shape) ----------
 
@@ -249,6 +302,7 @@ class PoseEstimator:
         (pafs [B, h, w, 38], heatmaps [B, h, w, 19]). The reference
         evaluates strictly batch-1 (reference eval.py:144-156); batching
         same-shape buckets is the TPU-native eval path."""
+        self._maybe_calibrate(images)
         fwd = self._batch_forward_fn(*images.shape[1:3])
         paf, heatmap = fwd(self.variables, jnp.asarray(images))
         return np.asarray(paf), np.asarray(heatmap)
@@ -270,6 +324,7 @@ class PoseEstimator:
         batch's host->device transfer and compute with the previous
         batch's readback and host-side drawing/encoding (the streaming
         video path does this)."""
+        self._maybe_calibrate(images)
         b, h, w = images.shape[:3]
         fwd = self._batch_forward_fn(h, w)
         paf, heatmap = fwd(self.variables, jnp.asarray(images))
@@ -293,6 +348,7 @@ class PoseEstimator:
         im_pad, im_scale, _ = padding(
             image, self.dest_size, self.config.MODEL.DOWNSAMPLE
         )
+        self._maybe_calibrate(im_pad)
         fwd = self._forward_fn(*im_pad.shape[:2])
         paf, heatmap = fwd(self.variables, jnp.asarray(im_pad))
         return np.asarray(paf), np.asarray(heatmap), im_scale
@@ -305,6 +361,7 @@ class PoseEstimator:
             im_pad, im_scale, _ = padding(
                 image, self.dest_size, self.config.MODEL.DOWNSAMPLE
             )
+            self._maybe_calibrate(im_pad)
             if self.fuse_decode:
                 fused = self._fused_fn(*im_pad.shape[:2])
                 packed = fused(self.variables, jnp.asarray(im_pad))
