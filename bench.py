@@ -138,7 +138,13 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
     # (489 static / 474 dynamic vs 373 bf16 fps at batch 8 on v5e,
     # docs/PERF.md). Calibration inputs here are the bench frames
     # themselves; scale VALUES don't affect speed.
+    # Only SETUP (model build, quantization, calibration, first compile)
+    # may fail soft to int8_fps=None — a backend without int8 support is
+    # a missing secondary metric, not a broken bench. Once timing starts,
+    # a chain-scalar integrity failure raises as loudly as the headline
+    # loop's (a corrupt program must never read as "metric unavailable").
     int8_fps = None
+    infer_q = None
     try:
         from torch_ekpose_tpu.models import (
             calibrate_act_scales,
@@ -167,6 +173,9 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
 
         _, qtweak = infer_q(qvariables, batches[0], jnp.asarray(0, jnp.uint8))
         jax.block_until_ready(qtweak)
+    except Exception:
+        infer_q = None
+    if infer_q is not None:
         for _ in range(3):
             t0 = time.perf_counter()
             for i in range(n):
@@ -178,8 +187,6 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
             if final != 0:
                 raise RuntimeError(f"chain scalar should be 0, got {final}")
             int8_fps = max(int8_fps or 0.0, round(n * b / dt, 2))
-    except Exception:
-        int8_fps = None
 
     # model FLOPs utilization: XLA's cost analysis of the OPTIMIZED
     # forward program (post-compilation, FMA = 2 flops — same convention

@@ -58,13 +58,15 @@ def test_run_image_cli_s2d_blocks(tiny_image, tmp_path):
 
 def test_run_image_cli_spatial_mesh(tiny_image, tmp_path):
     """--num-devices N runs the height-sharded (sp) estimator end to
-    end; vgg family since sp targets the dense-conv flagship."""
+    end; vgg family since sp targets the dense-conv flagship.
+    --s2d-blocks must be honored on the sharded path too (it was once
+    silently dropped by build_model_and_variables)."""
     from torch_ekpose_tpu.cli.run_image import main
 
     out = str(tmp_path / "out_sp.jpg")
     main([
         "-m", "vgg2016", "-i", tiny_image, "-o", out,
-        "--num-devices", "8", "--dest-size", "128",
+        "--num-devices", "8", "--dest-size", "128", "--s2d-blocks", "1",
     ])
     assert os.path.exists(out)
 

@@ -126,11 +126,28 @@ def _compute_dtype(name: str):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
+def _load_variables_for_dtype(args):
+    """Load --ckpt honoring --dtype: a float/converted checkpoint loads
+    through the float template; a pre-quantized msgpack (cli.export
+    --dtype int8/int8_static) fails that template and retries with the
+    matching quantized one. One place for the detection so every CLI
+    path behaves identically."""
+    try:
+        return load_variables(args.model, args.ckpt)
+    except (KeyError, ValueError):
+        if args.dtype not in ("int8", "int8_static"):
+            raise
+        return load_variables(
+            args.model, args.ckpt,
+            quantized="static" if args.dtype == "int8_static" else True,
+        )
+
+
 def build_model_and_variables(args):
-    """(model, ready-to-serve variables) honoring --platform, --ckpt
-    and --dtype (including the int8 serving mode) — the shared front
-    half of every estimator construction; used directly by the
-    mesh-sharded CLI paths that build their own estimator."""
+    """(model, ready-to-serve variables) honoring --platform, --ckpt,
+    --dtype (including the int8 serving mode) and --s2d-blocks — the
+    shared front half of every estimator construction; used directly by
+    the mesh-sharded CLI paths that build their own estimator."""
     from torch_ekpose_tpu.models import get_model, quantize_variables
 
     apply_platform(getattr(args, "platform", "auto"))
@@ -144,16 +161,15 @@ def build_model_and_variables(args):
         )
     if args.dtype == "int8":
         model = get_model(args.model, dtype=jnp.bfloat16, quantize=True)
-        try:
-            variables = load_variables(args.model, args.ckpt)
-        except (KeyError, ValueError):
-            # a pre-quantized msgpack (cli.export --dtype int8)
-            variables = load_variables(args.model, args.ckpt, quantized=True)
+        variables = _load_variables_for_dtype(args)
         variables = quantize_variables(variables, model)  # no-op if int8
         return model, variables
     variables = load_variables(args.model, args.ckpt)
     dtype = _compute_dtype(args.dtype)
-    model = get_model(args.model, dtype=dtype)
+    model = get_model(
+        args.model, dtype=dtype,
+        s2d_blocks=getattr(args, "s2d_blocks", 0),
+    )
     if dtype != jnp.float32:
         from torch_ekpose_tpu.models import cast_params
 
@@ -166,16 +182,7 @@ def build_estimator(
 ) -> PoseEstimator:
     apply_platform(getattr(args, "platform", "auto"))
     report_devices()
-    try:
-        variables = load_variables(args.model, args.ckpt)
-    except (KeyError, ValueError):
-        if args.dtype not in ("int8", "int8_static"):
-            raise
-        # a pre-quantized msgpack (cli.export --dtype int8/int8_static)
-        variables = load_variables(
-            args.model, args.ckpt,
-            quantized="static" if args.dtype == "int8_static" else True,
-        )
+    variables = _load_variables_for_dtype(args)
     return PoseEstimator(
         model_name=args.model,
         variables=variables,

@@ -80,9 +80,17 @@ class ShardedPoseEstimator:
 
             mode = self.preprocess
             model = self.model
-            compute_dtype = jax.tree_util.tree_leaves(
-                self.variables["params"]
-            )[0].dtype
+            # quantized trees mix int8 kernel_q with f32 scale/bias
+            # leaves; probe ALL leaves, never just the first (that's
+            # whatever sorts alphabetically — a float bias here)
+            leaves = jax.tree_util.tree_leaves(self.variables["params"])
+            if any(leaf.dtype == jnp.int8 for leaf in leaves):
+                compute_dtype = jnp.bfloat16  # int8 serving mode
+            else:
+                compute_dtype = next(
+                    leaf.dtype for leaf in leaves
+                    if jnp.issubdtype(leaf.dtype, jnp.floating)
+                )
 
             @functools.partial(
                 jax.jit,

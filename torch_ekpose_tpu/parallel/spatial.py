@@ -85,11 +85,17 @@ class SpatialPoseEstimator:
 
             mode = self.preprocess
             model = self.model
-            compute_dtype = jax.tree_util.tree_leaves(
-                self.variables["params"]
-            )[0].dtype
-            if compute_dtype == jnp.int8:  # int8 serving mode weights
-                compute_dtype = jnp.bfloat16
+            # quantized trees mix int8 kernel_q with f32 scale/bias
+            # leaves, so probe ALL leaves (the first one is whatever
+            # sorts alphabetically — a float bias for this model)
+            leaves = jax.tree_util.tree_leaves(self.variables["params"])
+            if any(leaf.dtype == jnp.int8 for leaf in leaves):
+                compute_dtype = jnp.bfloat16  # int8 serving mode
+            else:
+                compute_dtype = next(
+                    leaf.dtype for leaf in leaves
+                    if jnp.issubdtype(leaf.dtype, jnp.floating)
+                )
 
             @functools.partial(
                 jax.jit,

@@ -205,15 +205,17 @@ class PoseEstimator:
                 "calibrate() applies to compute_dtype='int8_static' only"
             )
         mode = self.preprocess
+        # one jitted preprocess shared by every batch: same-shape
+        # calibration frames then hit the compile cache instead of
+        # retracing per batch
+        prep = jax.jit(jax.vmap(lambda im: preprocess_jax(im, mode)))
 
         def inputs():
             for imgs in image_batches:
                 arr = jnp.asarray(imgs)
                 if arr.ndim == 3:
                     arr = arr[None]
-                yield jax.jit(
-                    jax.vmap(lambda im: preprocess_jax(im, mode))
-                )(arr)
+                yield prep(arr)
 
         self.variables = calibrate_act_scales(
             self.variables, self._calib_model, inputs()
