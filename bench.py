@@ -155,9 +155,17 @@ def main(h: int = 368, w: int = 432, b: int = 8, n: int = 50) -> None:
         dyn_qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
         qmodel = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
         qvariables = quantize_variables(variables, dyn_qmodel)
+        # calibrate on a TINY random batch: scale VALUES don't affect
+        # speed, and the dynamic model's full-resolution calibration
+        # program would be a multi-minute compile this bench never
+        # times (the measured program below compiles regardless)
+        calib_frames = jnp.asarray(
+            np.random.default_rng(1).integers(0, 255, (2, 96, 96, 3)),
+            jnp.uint8,
+        )
         calib = jax.jit(
             jax.vmap(lambda f: preprocess_jax(f, "vgg"))
-        )(batches[0])
+        )(calib_frames)
         qvariables = calibrate_act_scales(qvariables, dyn_qmodel, [calib])
 
         @jax.jit
