@@ -5,6 +5,7 @@ and device reporting (equivalent of reference lib/evaluate/estimator.py:7-42
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Optional
 
 import jax
@@ -19,7 +20,8 @@ from torch_ekpose_tpu.runtime import (
 )
 
 __all__ = [
-    "add_model_args", "apply_platform", "build_estimator", "report_devices",
+    "add_model_args", "apply_platform", "build_estimator",
+    "enable_compilation_cache", "report_devices",
 ]
 
 
@@ -35,6 +37,32 @@ def apply_platform(platform: str) -> None:
     Must run before the first jax computation."""
     if platform and platform != "auto":
         jax.config.update("jax_platforms", platform)
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persist compiled executables across process restarts.
+
+    The full fused inference program takes tens of seconds to compile
+    cold; a serving process (cli.serve, run_video, eval sweeps) should
+    pay that once per (shape, model, dtype), not once per restart.
+    ``path=None`` resolves to $JAX_COMPILATION_CACHE_DIR if set, else
+    ``~/.cache/torch_ekpose_tpu/xla``; ``path="none"`` disables (the
+    --compilation-cache CLI escape hatch for read-only homes)."""
+    if path == "none":
+        return
+    path = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(
+            os.path.expanduser("~"), ".cache", "torch_ekpose_tpu", "xla"
+        )
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return  # unwritable target: serve uncached rather than die
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def add_model_args(parser: argparse.ArgumentParser) -> None:
@@ -80,6 +108,13 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         "--dest-size", type=int, default=368,
         help="inference resolution: the long image side is resized to "
         "this before padding (the reference hard-codes 368)",
+    )
+    parser.add_argument(
+        "--compilation-cache", type=str, default=None,
+        help="persistent XLA compilation cache directory (default: "
+        "$JAX_COMPILATION_CACHE_DIR or ~/.cache/torch_ekpose_tpu/xla; "
+        "'none' disables) — a restarted serving process then skips the "
+        "tens-of-seconds cold compile per shape",
     )
 
 
@@ -151,6 +186,7 @@ def build_model_and_variables(args):
     from torch_ekpose_tpu.models import get_model, quantize_variables
 
     apply_platform(getattr(args, "platform", "auto"))
+    enable_compilation_cache(getattr(args, "compilation_cache", None))
     report_devices()
     if args.dtype == "int8_static":
         raise NotImplementedError(
@@ -181,6 +217,7 @@ def build_estimator(
     args: argparse.Namespace, config: Optional[Config] = None
 ) -> PoseEstimator:
     apply_platform(getattr(args, "platform", "auto"))
+    enable_compilation_cache(getattr(args, "compilation_cache", None))
     report_devices()
     variables = _load_variables_for_dtype(args)
     return PoseEstimator(
