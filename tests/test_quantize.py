@@ -248,6 +248,71 @@ def test_estimator_int8_static_auto_calibrates(vgg_model_and_vars):
     assert isinstance(humans2, list)
 
 
+def test_static_tree_loads_into_dynamic_model(vgg_model_and_vars):
+    """A calibrated static tree converts back for the dynamic model
+    (act_scale leaves dropped) — so one exported int8_static checkpoint
+    serves under either --dtype int8 flavor."""
+    from torch_ekpose_tpu.models import calibrate_act_scales
+
+    _, variables = vgg_model_and_vars
+    dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    qvars = quantize_variables(variables, dyn_model)
+    svars = calibrate_act_scales(
+        qvars, dyn_model,
+        [jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))],
+    )
+
+    back = quantize_variables(svars, dyn_model)
+    got = jax.tree.map(lambda x: x.shape, back["params"])
+    want = jax.tree.map(lambda x: x.shape, qvars["params"])
+    assert jax.tree.structure(got) == jax.tree.structure(want)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    (paf, _), _ = dyn_model.apply(back, x, train=False)
+    assert np.isfinite(np.asarray(paf, np.float32)).all()
+
+
+def test_calibration_max_reduces_across_batches():
+    """Scales are the max |input| over ALL calibration batches, not the
+    last one's."""
+    import flax.linen as nn
+
+    from torch_ekpose_tpu.models import calibrate_act_scales
+    from torch_ekpose_tpu.models.quant import quantize_kernel
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return QuantConv(4, kernel=3, dtype=jnp.float32, name="conv")(x)
+
+    rng = np.random.default_rng(0)
+    q, s = quantize_kernel(rng.normal(size=(3, 3, 2, 4)).astype(np.float32))
+    variables = {"params": {"conv": {
+        "kernel_q": jnp.asarray(q), "scale": jnp.asarray(s),
+        "bias": jnp.zeros((4,), jnp.float32),
+    }}}
+    small = jnp.full((1, 4, 4, 2), 0.5, jnp.float32)
+    big = jnp.full((1, 4, 4, 2), 8.0, jnp.float32)
+    model = Wrap()
+    for order in ([small, big], [big, small]):
+        out = calibrate_act_scales(variables, model, order)
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["conv"]["act_scale"]), 8.0 / 127.0,
+            rtol=1e-6,
+        )
+
+
+def test_calibrate_rejects_non_static_estimator(vgg_model_and_vars):
+    from torch_ekpose_tpu.runtime import PoseEstimator
+
+    _, variables = vgg_model_and_vars
+    est = PoseEstimator(
+        model_name="vgg2016", variables=variables, compute_dtype="int8",
+        dest_size=64,
+    )
+    with pytest.raises(RuntimeError, match="int8_static"):
+        est.calibrate([np.zeros((64, 64, 3), np.uint8)])
+
+
 def test_int8_static_checkpoint_roundtrip(vgg_model_and_vars, tmp_path):
     """Calibrate once offline, save, serve: act_scale leaves survive the
     msgpack roundtrip and the estimator skips re-calibration."""
