@@ -68,6 +68,13 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--num-processes", type=int, default=1)
     parser.add_argument("--process-id", type=int, default=0)
+    parser.add_argument(
+        "--compilation-cache", type=str, default=None,
+        help="persistent XLA compilation cache directory (default: "
+        "$JAX_COMPILATION_CACHE_DIR or ~/.cache/torch_ekpose_tpu/xla; "
+        "'none' disables) — restarts and preemption resumes then skip "
+        "the multi-minute train-step compile",
+    )
     args = parser.parse_args(argv)
 
     if args.coordinator:
@@ -85,6 +92,11 @@ def main(argv=None) -> None:
     sys.stdout = Logger(os.path.join(log_dir, "logging.log"))
     print("command line:", " ".join(sys.argv))
 
+    # the fused train step is a multi-minute compile at full resolution;
+    # persist it so restarts (and preemption auto-resumes) skip it
+    common.enable_compilation_cache(
+        getattr(args, "compilation_cache", None)
+    )
     common.report_devices()
     cfg = get_default_config()
     cfg.TRAIN.batch_size = args.batch_size
