@@ -167,27 +167,38 @@ def test_export_cli_to_torch(vgg_model_and_vars, tmp_path):
 
 def test_run_image_cli_compilation_cache(tiny_image, tmp_path):
     """--compilation-cache persists compiled executables so a restarted
-    serving process skips the cold compile; 'none' disables cleanly."""
+    serving process skips the cold compile; 'none' REALLY disables the
+    cache (even one configured via env at import time)."""
+    import jax
+
     from torch_ekpose_tpu.cli.common import enable_compilation_cache
     from torch_ekpose_tpu.cli.run_image import main
 
-    import jax
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_enabled = jax.config.jax_enable_compilation_cache
+    try:
+        cache = str(tmp_path / "xla_cache")
+        out = str(tmp_path / "out_cached.jpg")
+        main([
+            "-m", "vgg2016", "-i", tiny_image, "-o", out,
+            "--dest-size", "96", "--compilation-cache", cache,
+        ])
+        assert os.path.exists(out)
+        # the flag reached jax's config and the directory was created
+        # (whether entries land depends on what still needed compiling
+        # in this process — in-memory jit caches are shared across
+        # tests)
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert jax.config.jax_enable_compilation_cache
+        assert os.path.isdir(cache)
 
-    cache = str(tmp_path / "xla_cache")
-    out = str(tmp_path / "out_cached.jpg")
-    main([
-        "-m", "vgg2016", "-i", tiny_image, "-o", out,
-        "--dest-size", "96", "--compilation-cache", cache,
-    ])
-    assert os.path.exists(out)
-    # the flag reached jax's config and the directory was created
-    # (whether entries land depends on what still needed compiling in
-    # this process — in-memory jit caches are shared across tests)
-    assert jax.config.jax_compilation_cache_dir == cache
-    assert os.path.isdir(cache)
-
-    enable_compilation_cache("none")  # must not raise or change config
-    assert jax.config.jax_compilation_cache_dir == cache
+        enable_compilation_cache("none")
+        assert jax.config.jax_compilation_cache_dir is None
+        assert not jax.config.jax_enable_compilation_cache
+    finally:
+        # global jax config: restore so later tests aren't order-coupled
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_enable_compilation_cache", prev_enabled)
 
 
 def test_summary_cli(capsys):

@@ -168,6 +168,13 @@ def test_quantize_rejects_ds_family():
         get_model("mobilenetV2_small", quantize="static")
 
 
+def test_quantize_rejects_s2d_combination():
+    """int8 + s2d is an explicit conflict, never a silent drop of one."""
+    for quantize in (True, "static"):
+        with pytest.raises(ValueError, match="s2d_blocks"):
+            get_model("vgg2016", quantize=quantize, s2d_blocks=1)
+
+
 def test_static_scales_calibrate_to_observed_absmax(vgg_model_and_vars):
     """calibrate_act_scales writes max|input|/127 per quantized conv —
     calibrating on one batch then forwarding that same batch through the

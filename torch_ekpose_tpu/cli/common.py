@@ -46,9 +46,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     cold; a serving process (cli.serve, run_video, eval sweeps) should
     pay that once per (shape, model, dtype), not once per restart.
     ``path=None`` resolves to $JAX_COMPILATION_CACHE_DIR if set, else
-    ``~/.cache/torch_ekpose_tpu/xla``; ``path="none"`` disables (the
-    --compilation-cache CLI escape hatch for read-only homes)."""
+    ``~/.cache/torch_ekpose_tpu/xla``; ``path="none"`` DISABLES the
+    cache even when the env var set one at import time (the
+    --compilation-cache CLI escape hatch for quota-full or shared
+    mounts). The persistence threshold
+    (jax_persistent_cache_min_compile_time_secs) is left alone so
+    operator env configuration survives."""
     if path == "none":
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_enable_compilation_cache", False)
         return
     path = (
         path
@@ -61,8 +67,8 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         os.makedirs(path, exist_ok=True)
     except OSError:
         return  # unwritable target: serve uncached rather than die
+    jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def add_model_args(parser: argparse.ArgumentParser) -> None:
@@ -196,7 +202,11 @@ def build_model_and_variables(args):
             "the single-device estimator paths"
         )
     if args.dtype == "int8":
-        model = get_model(args.model, dtype=jnp.bfloat16, quantize=True)
+        model = get_model(
+            args.model, dtype=jnp.bfloat16, quantize=True,
+            s2d_blocks=getattr(args, "s2d_blocks", 0),  # raises on the
+            # int8+s2d conflict rather than silently dropping the flag
+        )
         variables = _load_variables_for_dtype(args)
         variables = quantize_variables(variables, model)  # no-op if int8
         return model, variables

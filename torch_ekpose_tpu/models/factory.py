@@ -124,6 +124,13 @@ def get_model(
                 f"only, not {model_name!r} (its FLOPs sit in BN-folded "
                 f"depthwise-separable convs; run it in bfloat16)"
             )
+        if s2d_blocks:
+            # refuse rather than silently drop one of the two requests:
+            # the space-to-depth parity kernels are a rearrangement of
+            # the float weights and would need their own int8 scales
+            raise ValueError(
+                "s2d_blocks is incompatible with the int8 serving modes"
+            )
         return builder(dtype, quantize=quantize)
     if s2d_blocks:
         if builder is not _vgg:

@@ -26,6 +26,7 @@ from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.decode import device as decode_device
 from torch_ekpose_tpu.parallel.mesh import (
     data_sharding,
+    infer_compute_dtype,
     make_mesh,
     replicated,
 )
@@ -80,17 +81,7 @@ class ShardedPoseEstimator:
 
             mode = self.preprocess
             model = self.model
-            # quantized trees mix int8 kernel_q with f32 scale/bias
-            # leaves; probe ALL leaves, never just the first (that's
-            # whatever sorts alphabetically — a float bias here)
-            leaves = jax.tree_util.tree_leaves(self.variables["params"])
-            if any(leaf.dtype == jnp.int8 for leaf in leaves):
-                compute_dtype = jnp.bfloat16  # int8 serving mode
-            else:
-                compute_dtype = next(
-                    leaf.dtype for leaf in leaves
-                    if jnp.issubdtype(leaf.dtype, jnp.floating)
-                )
+            compute_dtype = infer_compute_dtype(self.variables["params"])
 
             @functools.partial(
                 jax.jit,

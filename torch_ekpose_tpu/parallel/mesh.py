@@ -27,10 +27,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "init_distributed", "make_mesh", "data_sharding", "replicated",
-    "place_replicated", "shard_batch",
+    "place_replicated", "shard_batch", "infer_compute_dtype",
 ]
 
 DATA_AXIS = "data"
+
+
+def infer_compute_dtype(params):
+    """Activation dtype to feed a model given its parameter tree.
+
+    Quantized trees mix int8 ``kernel_q`` leaves with f32 scale/bias
+    leaves — their activations run bfloat16 (models/quant.py). Probe ALL
+    leaves: the first leaf is whatever sorts alphabetically (a float
+    bias for these models), which once made an int8 check dead code.
+    """
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(params)
+    if any(leaf.dtype == jnp.int8 for leaf in leaves):
+        return jnp.bfloat16
+    return next(
+        leaf.dtype for leaf in leaves
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
 
 
 def init_distributed(

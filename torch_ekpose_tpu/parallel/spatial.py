@@ -33,7 +33,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.decode import device as decode_device
-from torch_ekpose_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated
+from torch_ekpose_tpu.parallel.mesh import (
+    DATA_AXIS,
+    infer_compute_dtype,
+    make_mesh,
+    replicated,
+)
 from torch_ekpose_tpu.utils.human import Human
 
 __all__ = ["SpatialPoseEstimator"]
@@ -85,17 +90,7 @@ class SpatialPoseEstimator:
 
             mode = self.preprocess
             model = self.model
-            # quantized trees mix int8 kernel_q with f32 scale/bias
-            # leaves, so probe ALL leaves (the first one is whatever
-            # sorts alphabetically — a float bias for this model)
-            leaves = jax.tree_util.tree_leaves(self.variables["params"])
-            if any(leaf.dtype == jnp.int8 for leaf in leaves):
-                compute_dtype = jnp.bfloat16  # int8 serving mode
-            else:
-                compute_dtype = next(
-                    leaf.dtype for leaf in leaves
-                    if jnp.issubdtype(leaf.dtype, jnp.floating)
-                )
+            compute_dtype = infer_compute_dtype(self.variables["params"])
 
             @functools.partial(
                 jax.jit,

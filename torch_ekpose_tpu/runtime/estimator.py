@@ -142,6 +142,8 @@ class PoseEstimator:
             self.model = get_model(
                 model_name, dtype=jnp.bfloat16,
                 quantize="static" if static else True,
+                s2d_blocks=s2d_blocks,  # raises on the conflict rather
+                # than silently dropping the user's s2d request
             )
             if variables is None:
                 _, variables = init_model(
