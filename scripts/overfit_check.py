@@ -1,5 +1,11 @@
 """Closed-loop sanity: overfit vgg2016 on one synthetic image, decode the
-model's own predictions, and require the person to be recovered."""
+model's own predictions, and require the person to be recovered.
+
+With --int8 the TRAINED weights are additionally quantized (both
+serving flavors: dynamic and calibrated static activation scales) and
+the same recovery bar is applied — an end-task accuracy check of the
+int8 modes on real (if tiny) trained weights, beyond the cosine bound
+the unit suite pins on random weights."""
 import os
 import sys
 import time
@@ -64,3 +70,42 @@ print(f'parts {h.part_count()}/18, max err {max(errs):.1f}px, '
 assert h.part_count() >= 14
 assert np.mean(errs) < 8.0
 print('OVERFIT CLOSED-LOOP OK', flush=True)
+
+
+def check_quantized(quantize):
+    from torch_ekpose_tpu.models import (
+        calibrate_act_scales, get_model, quantize_variables,
+    )
+
+    dyn_qmodel = get_model('vgg2016', dtype=jnp.bfloat16, quantize=True)
+    qvars = quantize_variables({'params': state.params}, dyn_qmodel)
+    if quantize == 'static':
+        qmodel = get_model('vgg2016', dtype=jnp.bfloat16, quantize='static')
+        qvars = calibrate_act_scales(
+            qvars, dyn_qmodel, [images.astype(jnp.bfloat16)]
+        )
+    else:
+        qmodel = dyn_qmodel
+    (qpaf, qheat), _ = jax.jit(
+        lambda v, x: qmodel.apply(v, x, train=False)
+    )(qvars, images.astype(jnp.bfloat16))
+    qhumans = paf_to_pose(
+        np.asarray(qheat[0], np.float32), np.asarray(qpaf[0], np.float32)
+    )
+    assert len(qhumans) >= 1, f'int8[{quantize}] lost the person'
+    qh = max(qhumans, key=lambda hh: hh.part_count())
+    qerrs = [
+        max(abs(p.x * S - gt[0, j, 0]), abs(p.y * S - gt[0, j, 1]))
+        for j, p in qh.body_parts.items()
+    ]
+    print(f'int8[{quantize}]: parts {qh.part_count()}/18, '
+          f'max err {max(qerrs):.1f}px, mean {np.mean(qerrs):.1f}px',
+          flush=True)
+    assert qh.part_count() >= 14
+    assert np.mean(qerrs) < 8.0
+
+
+if '--int8' in sys.argv:
+    check_quantized(True)
+    check_quantized('static')
+    print('INT8 CLOSED-LOOP OK', flush=True)
