@@ -201,6 +201,24 @@ def test_run_image_cli_compilation_cache(tiny_image, tmp_path):
         jax.config.update("jax_enable_compilation_cache", prev_enabled)
 
 
+def test_compilation_cache_unwritable_target_degrades(tmp_path):
+    """An unwritable cache target serves uncached instead of dying."""
+    import jax
+
+    from torch_ekpose_tpu.cli.common import enable_compilation_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_enabled = jax.config.jax_enable_compilation_cache
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("")  # a FILE where the cache dir would go
+    try:
+        enable_compilation_cache(str(blocker / "cache"))
+        assert jax.config.jax_compilation_cache_dir == prev_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_enable_compilation_cache", prev_enabled)
+
+
 def test_summary_cli(capsys):
     from torch_ekpose_tpu.cli.summary import main
 
