@@ -155,3 +155,88 @@ def test_export_vgg_roundtrip(tmp_path):
     b = jax.tree.leaves(jax.tree.map(np.asarray, again))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def _fake_torchvision_vgg19_state():
+    """Random state_dict in torchvision VGG19 *classifier* format:
+    ``features.{i}.weight/bias`` for every config-E conv plus
+    ``classifier.*`` heads (all ignored by the backbone import except
+    features[:23])."""
+    rng = np.random.default_rng(3)
+    state = {}
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+            512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    idx, cin = 0, 3
+    for v in plan:
+        if v == "M":
+            idx += 1
+            continue
+        state[f"features.{idx}.weight"] = rng.normal(
+            0, 0.01, (v, cin, 3, 3)).astype(np.float32)
+        state[f"features.{idx}.bias"] = rng.normal(
+            0, 0.01, (v,)).astype(np.float32)
+        cin = v
+        idx += 2
+    state["classifier.0.weight"] = rng.normal(
+        0, 0.01, (4096, 25088)).astype(np.float32)
+    state["classifier.0.bias"] = np.zeros((4096,), np.float32)
+    return state
+
+
+def test_import_imagenet_vgg19():
+    """The reference's --imagenet_pretrained partial copy
+    (vgg2016.py:137-143): features[:23] convs land in the backbone,
+    everything else (appended convs, head, classifier keys) untouched."""
+    from torch_ekpose_tpu.runtime.checkpoint import import_imagenet_vgg19
+
+    state = _fake_torchvision_vgg19_state()
+    _, variables = init_model("vgg2016", input_shape=(1, 64, 64, 3))
+    out = import_imagenet_vgg19(state, variables)
+
+    copied = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21)
+    for idx in copied:
+        got = np.asarray(out["params"]["model0"][f"conv_{idx}"]["conv"]
+                         ["kernel"])
+        want = np.transpose(state[f"features.{idx}.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(got, want, err_msg=f"conv_{idx}")
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["model0"][f"conv_{idx}"]["conv"]
+                       ["bias"]),
+            state[f"features.{idx}.bias"],
+        )
+        # the caller's tree is not mutated
+        assert not np.array_equal(
+            np.asarray(variables["params"]["model0"][f"conv_{idx}"]
+                       ["conv"]["kernel"]), got)
+    # appended convs (23, 25) and the CPM head keep their fresh init
+    for idx in (23, 25):
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["model0"][f"conv_{idx}"]["conv"]
+                       ["kernel"]),
+            np.asarray(variables["params"]["model0"][f"conv_{idx}"]
+                       ["conv"]["kernel"]),
+        )
+    import jax
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(out["params"]["head"])[0]),
+        np.asarray(jax.tree.leaves(variables["params"]["head"])[0]),
+    )
+
+
+def test_import_imagenet_vgg19_rejects_bad_shapes():
+    from torch_ekpose_tpu.runtime.checkpoint import import_imagenet_vgg19
+
+    state = _fake_torchvision_vgg19_state()
+    state["features.0.weight"] = state["features.0.weight"][:, :2]
+    _, variables = init_model("vgg2016", input_shape=(1, 64, 64, 3))
+    with pytest.raises(ValueError, match="shape"):
+        import_imagenet_vgg19(state, variables)
+
+
+def test_import_imagenet_vgg19_rejects_non_vgg19_file():
+    from torch_ekpose_tpu.runtime.checkpoint import import_imagenet_vgg19
+
+    _, variables = init_model("vgg2016", input_shape=(1, 64, 64, 3))
+    with pytest.raises(ValueError, match="missing"):
+        import_imagenet_vgg19({"classifier.0.bias": np.zeros(1)}, variables)

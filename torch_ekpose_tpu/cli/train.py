@@ -29,11 +29,19 @@ def main(argv=None) -> None:
     parser.add_argument("--data-dir", type=str, default="./data/")
     parser.add_argument("-b", "--batch_size", type=int, default=128)
     parser.add_argument("-e", "--epochs", type=int, default=300)
-    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("-l", "--lr", type=float, default=1e-4)
     parser.add_argument("--weight_decay", type=float, default=5e-4)
     parser.add_argument("--square_size", type=int, default=368)
     parser.add_argument("--save_epoch", type=int, default=20)
-    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument(
+        "--workers", "--loader_workers", type=int, default=8,
+        help="loader worker count (the reference's --loader_workers)",
+    )
+    parser.add_argument(
+        "--training_curve", action="store_true",
+        help="accepted for reference CLI compatibility; the curve PNG "
+        "is always saved here (reference train.py:44 gates it)",
+    )
     parser.add_argument(
         "--loader-mode", type=str, default="process",
         choices=["process", "thread"],
@@ -56,9 +64,19 @@ def main(argv=None) -> None:
                         "stay float32")
     parser.add_argument("--pretrained_path", type=str, default=None,
                         help="resume checkpoint (.ckpt) or reference .pth")
-    parser.add_argument("--warmup_epochs", type=int, default=0,
+    parser.add_argument(
+        "--imagenet_pretrained", type=str, default=None, nargs="?",
+        const="auto", metavar="VGG19_PTH",
+        help="initialize the vgg2016 backbone from a torchvision "
+        "ImageNet VGG19 classifier checkpoint (reference train.py:48 / "
+        "vgg2016.py:137-143; implies a 5-epoch frozen-backbone warmup "
+        "unless --warmup_epochs is given). With no value, looks in "
+        "torchvision's cache (~/.cache/torch/hub/checkpoints/)",
+    )
+    parser.add_argument("--warmup_epochs", type=int, default=None,
                         help="frozen-backbone warmup epochs "
-                        "(reference train.py:130-166)")
+                        "(reference train.py:130-166; default 5 with "
+                        "--imagenet_pretrained, else 0)")
     parser.add_argument("--logdir", type=str, default="./logs/")
     parser.add_argument("--out-dir", type=str, default="./checkpoints/")
     parser.add_argument(
@@ -152,11 +170,52 @@ def main(argv=None) -> None:
         jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     )
 
+    if args.warmup_epochs is None:
+        # the reference runs a 5-epoch frozen-backbone warmup whenever
+        # it starts from imagenet weights (train.py:130-166)
+        args.warmup_epochs = 5 if args.imagenet_pretrained else 0
+
     variables = None
     if args.pretrained_path and args.pretrained_path.endswith(
         (".pth", ".pt")
     ):
         variables = common.load_variables(args.model, args.pretrained_path)
+    if args.imagenet_pretrained:
+        if args.model != "vgg2016":
+            raise SystemExit(
+                "--imagenet_pretrained applies to vgg2016 only (the "
+                "reference's flag likewise feeds vgg2016.load_model)"
+            )
+        if variables is not None:
+            raise SystemExit(
+                "--imagenet_pretrained conflicts with a .pth "
+                "--pretrained_path (both would set the backbone)"
+            )
+        path = args.imagenet_pretrained
+        if path == "auto":
+            import glob
+
+            hits = sorted(glob.glob(os.path.expanduser(
+                "~/.cache/torch/hub/checkpoints/vgg19-*.pth"
+            )))
+            if not hits:
+                raise SystemExit(
+                    "--imagenet_pretrained: no vgg19-*.pth in "
+                    "~/.cache/torch/hub/checkpoints/ (this environment "
+                    "cannot download it; pass an explicit path)"
+                )
+            path = hits[-1]
+        from torch_ekpose_tpu.models import init_model
+        from torch_ekpose_tpu.runtime.checkpoint import (
+            import_imagenet_vgg19,
+        )
+
+        _, variables = init_model(
+            args.model,
+            input_shape=(1, args.square_size, args.square_size, 3),
+        )
+        variables = import_imagenet_vgg19(path, variables)
+        print(f"INFO: backbone initialized from imagenet VGG19 ({path})")
 
     # Resume decisions are made up front: when the main run will restore a
     # full-state checkpoint (explicit *.ckpt or an auto-resume

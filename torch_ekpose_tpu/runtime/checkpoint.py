@@ -32,6 +32,7 @@ __all__ = [
     "load_torch_state_dict",
     "convert_torch_checkpoint",
     "export_torch_checkpoint",
+    "import_imagenet_vgg19",
 ]
 
 
@@ -356,6 +357,60 @@ def convert_torch_checkpoint(
         for k in [k for k in state if k.startswith(prefix)]:
             state.pop(k)
     return _import_entries(entries, state)
+
+
+def import_imagenet_vgg19(
+    path_or_state: Any, variables: Dict[str, Any]
+) -> Dict[str, Any]:
+    """The reference's ``--imagenet_pretrained`` initialization: copy a
+    torchvision ImageNet VGG19 *classifier* checkpoint's first ten convs
+    (``features.{0,2,5,7,10,12,14,16,19,21}.weight/bias`` — exactly
+    ``features[:23]``) into a freshly initialized vgg2016 variables tree
+    (reference lib/network/vgg2016.py:137-143: a partial copy of the
+    first 23 feature layers; train.py:48 wires the flag).
+
+    The two appended convs (torch indices 23, 25) and the whole CPM head
+    keep their existing initialization, and all other checkpoint keys
+    (``classifier.*``, the deeper feature convs) are ignored — the same
+    partial-copy semantics as the reference. Returns a new variables
+    tree; shapes are validated against the existing leaves so a wrong
+    file fails loudly.
+
+    torchvision cannot be downloaded in airgapped environments; any
+    locally available ``vgg19-*.pth`` in torchvision's format works.
+    """
+    import jax
+    from flax.core import unfreeze
+
+    if isinstance(path_or_state, (str, os.PathLike)):
+        state = load_torch_state_dict(os.fspath(path_or_state))
+    else:
+        state = {k: np.asarray(v) for k, v in path_or_state.items()}
+    # rebuild containers (plain, mutable) so the caller's tree is not
+    # mutated; leaves stay shared except the ten we replace
+    out = jax.tree_util.tree_map(lambda x: x, unfreeze(variables))
+    backbone = out["params"]["model0"]
+    for idx in _VGG_BACKBONE_CONV_IDX[:10]:  # features[:23] convs only
+        for torch_key, leaf_key, conv in (
+            (f"features.{idx}.weight", "kernel", _conv_kernel),
+            (f"features.{idx}.bias", "bias", lambda b: b),
+        ):
+            if torch_key not in state:
+                raise ValueError(
+                    f"{torch_key} missing: not a torchvision VGG19 "
+                    "classifier checkpoint"
+                )
+            new = conv(np.asarray(state[torch_key]))
+            old = backbone[f"conv_{idx}"]["conv"][leaf_key]
+            if tuple(new.shape) != tuple(np.shape(old)):
+                raise ValueError(
+                    f"{torch_key}: shape {new.shape} does not match "
+                    f"model0/conv_{idx} {tuple(np.shape(old))}"
+                )
+            backbone[f"conv_{idx}"]["conv"][leaf_key] = new.astype(
+                np.asarray(old).dtype
+            )
+    return out
 
 
 def export_torch_checkpoint(
