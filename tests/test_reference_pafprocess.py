@@ -319,6 +319,73 @@ def test_native_matches_reference(refpaf, name, builder):
     assert subset_to_humans(subset, peaks_flat) == ref_humans
 
 
+def scene_mixed(rng):
+    """People + clutter: painted skeletons with dropped parts, plus
+    uniform-random spurious peaks and PAF noise — the adversarial middle
+    ground between the structured and chaos scenes."""
+    # scene_people centres people >=100 px from the border, so the
+    # upsampled frame must exceed 200 px: grid >= 26 (26*8 = 208)
+    grid_h = int(rng.integers(26, 56))
+    grid_w = int(rng.integers(26, 56))
+    peaks_flat, pafs = scene_people(
+        rng, int(rng.integers(1, 5)), grid_h=grid_h, grid_w=grid_w,
+        drop=float(rng.uniform(0.0, 0.4)),
+        tie_scores=bool(rng.integers(0, 2)),
+    )
+    pafs = pafs + rng.normal(0, 0.08, pafs.shape).astype(np.float32)
+    extra = [[] for _ in range(NPART)]
+    for part in range(NPART):
+        for _ in range(int(rng.integers(0, 3))):
+            extra[part].append([
+                float(rng.integers(0, grid_w * STRIDE)),
+                float(rng.integers(0, grid_h * STRIDE)),
+                float(rng.uniform(0.05, 1.0)),
+            ])
+    merged = [[] for _ in range(NPART)]
+    for part in range(NPART):
+        sel = peaks_flat[peaks_flat[:, 4] == part] if len(peaks_flat) \
+            else np.zeros((0, 5))
+        merged[part] = [list(r[:3]) for r in sel] + extra[part]
+    return flatten(merged), pafs
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_fuzz_matches_reference(refpaf, seed):
+    """Seeded fuzz sweep: oracle (and native, when buildable) person rows
+    must equal the reference assembler's on randomized mixed scenes."""
+    rng = np.random.default_rng(seed)
+    peaks_flat, pafs = scene_mixed(rng)
+    ref_rows, ref_humans = run_reference(refpaf, peaks_flat, pafs)
+
+    _, subset = oracle.decode(
+        np.zeros((*pafs.shape[:2], 19), np.float32), pafs,
+        peaks_by_part=to_parts_lists(peaks_flat),
+    )
+    assert len(subset) == len(ref_rows), (
+        f"seed {seed}: oracle {len(subset)} people vs reference "
+        f"{len(ref_rows)}"
+    )
+    for i, (mine, ref) in enumerate(zip(subset, ref_rows)):
+        np.testing.assert_array_equal(
+            mine[:18].astype(int), ref[:18].astype(int),
+            err_msg=f"seed {seed}: person {i} part cids differ",
+        )
+    assert subset_to_humans(subset, peaks_flat) == ref_humans
+
+    if native.available():
+        nat = native.process_paf(
+            peaks_flat, pafs, stride=STRIDE,
+            n_steps=cfg.TEST.NUM_INTERMED_PTS_BETWEEN_KEYPOINTS,
+            thresh_paf=cfg.TEST.THRESH_PAF,
+            thresh_vector_cnt1=cfg.TEST.THRESH_VECTOR_CNT1,
+            thresh_part_cnt=cfg.TEST.THRESH_PART_CNT,
+            thresh_human_score=cfg.TEST.THRESH_HUMAN_SCORE,
+        )
+        assert subset_to_humans(nat, peaks_flat) == ref_humans, (
+            f"seed {seed}: native humans != reference"
+        )
+
+
 def _device_cases():
     # structured scenes only: the device decoder runs its own NMS, so we
     # need real heatmaps; its peak list is then fed back to the reference

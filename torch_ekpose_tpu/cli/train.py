@@ -27,8 +27,10 @@ def main(argv=None) -> None:
     parser.add_argument("-m", "--model", type=str, default="vgg2016")
     parser.add_argument("-d", "--datasets", type=str, required=True)
     parser.add_argument("--data-dir", type=str, default="./data/")
-    parser.add_argument("-b", "--batch_size", type=int, default=128)
-    parser.add_argument("-e", "--epochs", type=int, default=300)
+    # defaults match the reference CLI (train.py:36-37); pass a larger
+    # -b on real slices — one v5e chip sustains batch 128 via --grad-accum
+    parser.add_argument("-b", "--batch_size", type=int, default=16)
+    parser.add_argument("-e", "--epochs", type=int, default=100)
     parser.add_argument("-l", "--lr", type=float, default=1e-4)
     parser.add_argument("--weight_decay", type=float, default=5e-4)
     parser.add_argument("--square_size", type=int, default=368)
@@ -51,6 +53,12 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--n-images", type=int, default=None)
     parser.add_argument("--num-devices", type=int, default=0)
+    parser.add_argument(
+        "--gpus", type=str, default=None, metavar="IDS",
+        help="reference-compatibility alias (train.py:38 takes "
+        "comma-separated CUDA ids): the COUNT of ids becomes "
+        "--num-devices; TPU meshes have no per-id selection",
+    )
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="micro-batches per optimizer step (fits the "
                         "reference's batch-128 recipe on few chips)")
@@ -94,6 +102,16 @@ def main(argv=None) -> None:
         "the multi-minute train-step compile",
     )
     args = parser.parse_args(argv)
+
+    if args.gpus:
+        n = len([g for g in args.gpus.split(",") if g.strip() != ""])
+        if args.num_devices and args.num_devices != n:
+            raise SystemExit(
+                f"--gpus lists {n} ids but --num-devices={args.num_devices}"
+            )
+        args.num_devices = n
+        print(f"INFO: --gpus {args.gpus!r} -> data-parallel over "
+              f"{n} device(s)")
 
     if args.coordinator:
         # must happen before any other jax use; afterwards jax.devices()
