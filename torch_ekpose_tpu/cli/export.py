@@ -27,6 +27,7 @@ paid once, offline, instead of at every serving-process start."""
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import numpy as np
@@ -56,11 +57,25 @@ def main(argv=None) -> None:
     parser.add_argument("--to-torch", action="store_true",
                         help="write a reference-format torch "
                         "state_dict instead of a native msgpack")
+    parser.add_argument("--aot", action="store_true",
+                        help="write an AOT deployment artifact instead: "
+                        "the batched serving pipeline as serialized "
+                        "StableHLO + params + metadata, loadable with "
+                        "runtime.aot.load_pipeline on the SAME platform "
+                        "kind (run on TPU to export for TPU)")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="(--aot) batch size baked into the artifact")
+    parser.add_argument("--input-size", type=str, default=None,
+                        metavar="HxW",
+                        help="(--aot) fixed input frame size, e.g. "
+                        "368x432; default: dest-size square")
     args = parser.parse_args(argv)
 
-    # CPU is always the right backend for an offline format shuffle —
-    # never wait on (or transfer through) an accelerator for this
-    jax.config.update("jax_platforms", "cpu")
+    if not args.aot:
+        # CPU is always the right backend for an offline format shuffle —
+        # never wait on (or transfer through) an accelerator for this.
+        # (--aot instead exports FOR the running platform.)
+        jax.config.update("jax_platforms", "cpu")
 
     from torch_ekpose_tpu.cli import common
     from torch_ekpose_tpu.runtime.checkpoint import (
@@ -69,6 +84,10 @@ def main(argv=None) -> None:
     )
 
     variables = common.load_variables(args.model, args.ckpt)
+
+    if args.aot:
+        _export_aot(args, variables)
+        return
 
     if args.to_torch:
         export_torch_checkpoint(
@@ -101,6 +120,48 @@ def main(argv=None) -> None:
     )
 
 
+def _export_aot(args, variables):
+    """Write an AOT deployment artifact (runtime/aot.py)."""
+    import jax.numpy as jnp
+
+    from torch_ekpose_tpu.runtime.aot import export_pipeline
+    from torch_ekpose_tpu.runtime.estimator import PoseEstimator
+
+    if args.input_size:
+        try:
+            h, w = (int(v) for v in args.input_size.lower().split("x"))
+        except ValueError:
+            raise SystemExit(
+                f"--input-size must be HxW, got {args.input_size!r}"
+            )
+    else:
+        h = w = args.dest_size
+    dtype = {
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16,
+        "int8": "int8", "int8_static": "int8_static",
+    }[args.dtype]
+    est = PoseEstimator(
+        model_name=args.model, variables=variables,
+        compute_dtype=dtype, dest_size=max(h, w),
+    )
+    if args.dtype == "int8_static":
+        if args.calib_images is None:
+            raise SystemExit(
+                "--aot --dtype int8_static requires --calib-images "
+                "(static scales are baked into the artifact)"
+            )
+        _calibrate_est(args, est)
+    meta = export_pipeline(
+        est, args.output, batch=args.batch, height=h, width=w
+    )
+    size = os.path.getsize(args.output)
+    print(
+        f"INFO: wrote AOT artifact ({meta['platform']}, batch "
+        f"{meta['batch']}, {h}x{w}, {args.dtype}; "
+        f"{size / 1e6:.1f} MB) -> {args.output}"
+    )
+
+
 def _quantize_static(args, variables):
     """Quantize + calibrate static activation scales on real frames.
 
@@ -108,10 +169,20 @@ def _quantize_static(args, variables):
     (resize-long-side + pad, runtime.estimator.padding) so the measured
     activation ranges match production traffic at --dest-size.
     """
-    import os
+    from torch_ekpose_tpu.runtime.estimator import PoseEstimator
 
+    est = PoseEstimator(
+        model_name=args.model, variables=variables,
+        compute_dtype="int8_static", dest_size=args.dest_size,
+    )
+    _calibrate_est(args, est)
+    return est.variables
+
+
+def _calibrate_est(args, est) -> None:
+    """Calibrate an int8_static estimator on --calib-images frames."""
     from torch_ekpose_tpu.evaluate.evaluator import read_image_bgr
-    from torch_ekpose_tpu.runtime.estimator import PoseEstimator, padding
+    from torch_ekpose_tpu.runtime.estimator import padding
 
     path = args.calib_images
     if os.path.isdir(path):
@@ -124,15 +195,10 @@ def _quantize_static(args, variables):
         paths = [path]
     if not paths:
         raise SystemExit(f"no calibration images found under {path!r}")
-    est = PoseEstimator(
-        model_name=args.model, variables=variables,
-        compute_dtype="int8_static", dest_size=args.dest_size,
-    )
     est.calibrate(
         padding(read_image_bgr(p), args.dest_size)[0] for p in paths
     )
     print(f"INFO: calibrated static int8 scales on {len(paths)} image(s)")
-    return est.variables
 
 
 if __name__ == "__main__":
