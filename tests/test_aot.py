@@ -122,6 +122,74 @@ def test_rejects_unpadded_size():
         export_pipeline(est, "/tmp/nope.ekx", batch=1, height=65, width=64)
 
 
+def test_serving_adapter(artifact):
+    """AotServingAdapter: letterbox + partial batch + estimate()."""
+    from torch_ekpose_tpu.runtime.aot import AotServingAdapter
+
+    _, path, _ = artifact
+    adapter = AotServingAdapter(load_pipeline(path))
+
+    # non-artifact-shaped frame letterboxes into the 64x64 frame
+    frame = _frames(batch=1, h=48, w=96)[0]
+    im_pad, scale = adapter.pad_image(frame)
+    assert im_pad.shape == (64, 64, 3)
+    assert scale == pytest.approx(64 / 96)
+    # the letterboxed content sits top-left, margin stays zero
+    assert im_pad[: int(48 * scale)].any()
+    assert not im_pad[int(48 * scale) + 1:].any()
+
+    humans, scale2 = adapter.estimate(frame)
+    assert scale2 == scale
+    assert isinstance(humans, list)
+
+    # partial batch (1 of 2) round-trips; oversize refuses
+    out = adapter.estimate_batch(im_pad[None])
+    assert len(out) == 1
+    with pytest.raises(ValueError, match="exceeds"):
+        adapter.estimate_batch(np.stack([im_pad] * 3))
+
+
+def test_serve_aot_http(artifact):
+    """PoseServer over an AOT artifact: health + one request end to end."""
+    import io
+    import json
+    import urllib.request
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from torch_ekpose_tpu.runtime.aot import AotServingAdapter
+    from torch_ekpose_tpu.runtime.server import PoseServer
+
+    _, path, _ = artifact
+    adapter = AotServingAdapter(load_pipeline(path))
+    srv = PoseServer(
+        adapter, port=0, max_batch=adapter.pipeline.batch,
+        max_wait_ms=5.0,
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as resp:
+            payload = json.loads(resp.read())
+        assert payload["status"] == "ok"
+        assert "AOT" in payload["model"]
+
+        buf = io.BytesIO()
+        Image.fromarray(_frames(batch=1, h=48, w=96)[0]).save(
+            buf, format="PNG"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/pose", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        assert "humans" in payload
+    finally:
+        srv.stop()
+
+
 def test_cli_export_aot(tmp_path):
     """cli.export --aot end to end from a native msgpack checkpoint."""
     import jax

@@ -52,7 +52,12 @@ from torch_ekpose_tpu.config import Config, get_default_config
 
 FORMAT_VERSION = 1
 
-__all__ = ["export_pipeline", "load_pipeline", "AotPipeline"]
+__all__ = [
+    "export_pipeline",
+    "load_pipeline",
+    "AotPipeline",
+    "AotServingAdapter",
+]
 
 
 def _specs_like(tree):
@@ -232,6 +237,65 @@ class AotPipeline:
             )
             for i in range(m["batch"])
         ]
+
+
+class AotServingAdapter:
+    """Adapts an :class:`AotPipeline` to the live-estimator serving
+    surface (``runtime.server.PoseServer``): arbitrary BGR frames are
+    letterboxed into the artifact's fixed ``[H, W]`` frame, and partial
+    batches are zero-padded up to the artifact batch (the padded rows'
+    results are dropped).
+
+    ``scale`` keeps the reference's coordinate contract
+    (``x_px = x_norm * W_pad / scale``, reference eval.py:110-111): it is
+    the resize factor applied to the original frame, with the letterbox
+    zero region part of the padded frame exactly like
+    ``runtime.estimator.padding``'s to-multiple-of-8 margin.
+    """
+
+    def __init__(self, pipeline: AotPipeline):
+        self.pipeline = pipeline
+        self.config = pipeline.config
+        m = pipeline.meta
+        self.model_name = f"{m['model']} (AOT {m['platform']})"
+        self.dest_size = max(m["height"], m["width"])
+
+    def pad_image(self, image: np.ndarray):
+        """Letterbox one BGR frame into the artifact frame.
+
+        Returns (im_pad [H, W, 3] uint8, scale) with
+        scale = min(H/h0, W/w0) — both dims always fit, unlike the
+        long-side rule, because the artifact shape is fixed.
+        """
+        import cv2
+
+        h, w = self.pipeline.meta["height"], self.pipeline.meta["width"]
+        h0, w0 = image.shape[:2]
+        scale = min(h / h0, w / w0)
+        resized = cv2.resize(
+            image, (0, 0), fx=scale, fy=scale,
+            interpolation=cv2.INTER_CUBIC,
+        )
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        canvas[: resized.shape[0], : resized.shape[1]] = resized
+        return canvas, scale
+
+    def estimate_batch(self, images: np.ndarray) -> List[List]:
+        b = self.pipeline.batch
+        n = images.shape[0]
+        if n > b:
+            raise ValueError(
+                f"batch {n} exceeds the artifact batch {b}"
+            )
+        if n < b:
+            pad = np.zeros((b - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad])
+        return self.pipeline.estimate_batch(images)[:n]
+
+    def estimate(self, image: np.ndarray):
+        """(humans, scale) for one arbitrary BGR frame."""
+        im_pad, scale = self.pad_image(image)
+        return self.estimate_batch(im_pad[None])[0], scale
 
 
 def load_pipeline(path: str) -> AotPipeline:

@@ -188,12 +188,17 @@ class PoseServer:
         The first request at a new (batch, shape) pays the XLA compile
         (tens of seconds); subsequent requests reuse the executable, so
         the timeout is sized for the cold path."""
-        from torch_ekpose_tpu.runtime.estimator import padding
+        if hasattr(self.estimator, "pad_image"):
+            # AOT artifacts serve ONE fixed frame shape: the adapter
+            # letterboxes into it (runtime.aot.AotServingAdapter)
+            im_pad, scale = self.estimator.pad_image(image)
+        else:
+            from torch_ekpose_tpu.runtime.estimator import padding
 
-        im_pad, scale, _ = padding(
-            image, self.estimator.dest_size,
-            self.estimator.config.MODEL.DOWNSAMPLE,
-        )
+            im_pad, scale, _ = padding(
+                image, self.estimator.dest_size,
+                self.estimator.config.MODEL.DOWNSAMPLE,
+            )
         req = _Request(im_pad)
         self._queue.put(req)
         if not req.event.wait(timeout):
