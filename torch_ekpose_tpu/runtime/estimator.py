@@ -67,7 +67,11 @@ def padding(
     try:
         import cv2
 
-        im = cv2.resize(im, (new_w, new_h))
+        # fx/fy form, NOT dsize: cv2 maps output coords through the
+        # GIVEN factors, so resize(im, (new_w, new_h)) produces different
+        # pixels whenever rint(w*s)/w != s — the reference passes fx/fy
+        # (estimator.py:60) and bit-parity requires the same call
+        im = cv2.resize(im, None, fx=im_scale, fy=im_scale)
     except ImportError:
         resized = resize_image_np(im.astype(np.float32), new_h, new_w, "linear")
         im = (
