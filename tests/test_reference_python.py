@@ -260,6 +260,99 @@ def test_nms_unrefined_matches_reference(ref):
 
 
 # ---------------------------------------------------------------------------
+# legacy pure-Python decoder (reference lib/utils/paf_to_pose.py:136-343)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_legacy_decoder_matches_reference(ref, seed):
+    """joint_list and person rows of the 7-limb legacy pipeline."""
+    from torch_ekpose_tpu.decode.legacy import paf_to_pose_legacy
+
+    pytest.importorskip("cv2")
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    heatmaps = _smooth_heatmaps(rng)
+    pafs = rng.uniform(-1, 1, (46, 58, 38)).astype(np.float32)
+    for c in range(38):
+        pafs[:, :, c] = gaussian_filter(pafs[:, :, c], sigma=3.0)
+    pafs *= 3.0  # push some line integrals over the 0.05 bar
+
+    cfg = get_default_config()
+    want_joints, want_people = ref.paf_to_pose.paf_to_pose(
+        heatmaps.copy(), pafs.copy(), cfg
+    )
+    got_joints, got_people = paf_to_pose_legacy(
+        heatmaps.copy(), pafs.copy(), cfg
+    )
+    np.testing.assert_allclose(
+        got_joints, np.asarray(want_joints, np.float64), atol=1e-4
+    )
+    want_people = np.asarray(want_people, np.float64).reshape(-1, 20)
+    got_people = np.asarray(got_people, np.float64).reshape(-1, 20)
+    assert got_people.shape == want_people.shape
+    np.testing.assert_allclose(got_people, want_people, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# get_outputs end to end: padding + preprocess + forward + unpack
+# (reference lib/evaluate/estimator.py:71-88) with the reference's OWN
+# estimator code driving the reference's OWN vgg2016 torch model, vs our
+# estimator driving the converted checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_get_outputs_matches_reference(ref):
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("cv2")
+    import jax.numpy as jnp
+
+    from test_converter_parity import _vgg19_features_standin
+
+    if "torchvision" not in sys.modules:
+        stub = types.ModuleType("torchvision")
+        stub.models = types.ModuleType("torchvision.models")
+        stub.models.vgg19 = lambda **kw: _vgg19_features_standin()
+        sys.modules["torchvision"] = stub
+        sys.modules["torchvision.models"] = stub.models
+    sys.path.insert(0, REFERENCE)
+    try:
+        from lib.network import vgg2016
+    finally:
+        sys.path.remove(REFERENCE)
+
+    from torch_ekpose_tpu.runtime import (
+        PoseEstimator,
+        convert_torch_checkpoint,
+    )
+
+    torch.manual_seed(0)
+    ref_model = vgg2016.OpenPose()
+    ref_model.eval().float()
+    state = {
+        k: v.detach().numpy() for k, v in ref_model.state_dict().items()
+    }
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (250, 333, 3)).astype(np.uint8)
+    with torch.no_grad():
+        want_pafs, want_heat, want_scale = ref.estimator.get_outputs(
+            image.copy(), ref_model, "vgg", "cpu"
+        )
+
+    est = PoseEstimator(
+        model_name="vgg2016",
+        variables=convert_torch_checkpoint(state, "vgg2016"),
+        compute_dtype=jnp.float32,
+    )
+    got_pafs, got_heat, got_scale = est.get_outputs(image.copy())
+    assert got_scale == want_scale
+    np.testing.assert_allclose(got_pafs, want_pafs, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got_heat, want_heat, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # Human box heuristics (reference lib/utils/common.py:93-244)
 # ---------------------------------------------------------------------------
 
