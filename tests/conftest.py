@@ -23,6 +23,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Fast cross-layer smoke tier: one representative module per layer, chosen to
+# avoid the expensive XLA compiles (model forwards at full size, CLI drives,
+# reference-execution harnesses). `pytest -m quick` should finish in <5 min.
+QUICK_MODULES = {
+    "test_constants",      # L0 config/constants
+    "test_targets",        # L1 data / target gen
+    "test_cocoeval",       # evaluator math
+    "test_decode_oracle",  # L4 decode (numpy backend, no compile)
+    "test_decode_native",  # L4 decode (C++ backend)
+    "test_resize",         # runtime resize parity
+    "test_bench",          # driver-contract smoke
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():
