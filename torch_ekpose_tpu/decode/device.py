@@ -34,6 +34,7 @@ Known, documented divergences from the host oracle (both harmless for AP):
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -46,9 +47,9 @@ from torch_ekpose_tpu.ops.resize import resize_matrix
 from torch_ekpose_tpu.utils.human import BodyPart, Human
 
 __all__ = [
-    "DecodeResult", "build_decoder", "build_packed_decoder", "decode_jax",
-    "decode_jax_batched", "pack_result", "packed_to_humans",
-    "paf_to_pose_jax", "unpack_result",
+    "DecodeResult", "build_decoder", "build_packed_decoder",
+    "cap_saturation", "decode_jax", "decode_jax_batched", "pack_result",
+    "packed_to_humans", "paf_to_pose_jax", "unpack_result",
 ]
 
 _WIN = 2            # refinement patch half-width -> 5x5 patches
@@ -756,11 +757,69 @@ def packed_to_humans(
     return humans_from_result(result, up_h, up_w)
 
 
+def cap_saturation(result: DecodeResult) -> tuple:
+    """(peaks_saturated, people_saturated) for ONE image's DecodeResult.
+
+    The fixed capacities this decoder needs for static XLA shapes diverge
+    from the reference's unbounded ``std::vector`` assembler
+    (reference pafprocess.cpp:12-13) on extreme scenes:
+
+    - peaks: only the top-``max_peaks`` local maxima per part survive
+      (``jax.lax.top_k`` — highest score wins, ties broken toward the
+      earlier row-major cell, deterministically);
+    - people: once all ``subset_cap`` person rows have been written, later
+      found==0 connections are dropped instead of opening a row
+      (``_merge_loop_xla``/``merge_people_pallas``; row slots are never
+      reclaimed when rows merge, matching how both loops append).
+
+    These are conservative *table-full* signals: a part using all K peak
+    slots, or every person row written. A full table with exactly-capacity
+    contents flags too, but any truncation is guaranteed to flag.
+    """
+    k = result.peak_valid.shape[-1] // 18
+    peak_valid = np.asarray(result.peak_valid).reshape(18, k)
+    peaks_saturated = bool(peak_valid.all(axis=1).any())
+    # written person rows carry count >= 2 (fresh rows start at 2 and only
+    # grow); untouched slots keep the -1.0 init
+    counts = np.asarray(result.subset)[:, 19]
+    people_saturated = bool((counts > 0.0).all())
+    return peaks_saturated, people_saturated
+
+
+_saturation_warned: set = set()
+
+
+def _warn_if_saturated(result: DecodeResult) -> None:
+    """One-time-per-process warning when a decode capacity saturates —
+    crowded scenes may silently lose peaks/people vs the reference's
+    unbounded assembler (VERDICT: AP-affecting divergence on crowd images).
+    """
+    peaks_sat, people_sat = cap_saturation(result)
+    if peaks_sat and "peaks" not in _saturation_warned:
+        _saturation_warned.add("peaks")
+        warnings.warn(
+            "decode peak capacity saturated: some part filled all "
+            "max_peaks_per_part slots; lower-scoring peaks may have been "
+            "dropped. Raise cfg.DECODE.max_peaks_per_part for crowded "
+            "scenes (results stay deterministic: top-K by score).",
+            RuntimeWarning, stacklevel=3,
+        )
+    if people_sat and "people" not in _saturation_warned:
+        _saturation_warned.add("people")
+        warnings.warn(
+            "decode person-table capacity saturated: all person rows "
+            "written; later part groups may have been dropped. Raise "
+            "cfg.DECODE.max_people for crowded scenes.",
+            RuntimeWarning, stacklevel=3,
+        )
+
+
 def humans_from_result(
     result: DecodeResult, up_h: int, up_w: int
 ) -> List[Human]:
     """Host conversion of a DecodeResult to Human objects
     (mirrors reference paf_to_pose.py:361-378)."""
+    _warn_if_saturated(result)
     peak_xy = np.asarray(result.peak_xy)
     peak_score = np.asarray(result.peak_score)
     subset = np.asarray(result.subset)
