@@ -1,0 +1,210 @@
+"""Renderable synthetic COCO-keypoints datasets.
+
+This image has no COCO data (and no network egress), so end-to-end proofs
+that need *trained* weights — cross-stack eval AP parity, closed-loop
+train->eval runs — use scenes generated here: stick figures whose joints
+and limbs are drawn with distinctive colors, making the image->heatmap/PAF
+mapping learnable by a CNN from scratch in a few hundred CPU steps, while
+exercising the real dataset plumbing (COCO-format annotation JSON in the
+17-keypoint order, the neck synthesis, the eval protocol's ORDER_COCO
+remap — reference eval.py:20-35, lib/datasets/datasets.py:209-229).
+
+The same generator family renders train scenes on the fly (no disk) and
+writes held-out val sets to a COCO directory layout that both this
+framework's ``cli.eval`` and the reference's ``eval.py`` loop can consume.
+"""
+
+from __future__ import annotations
+
+import colorsys
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from torch_ekpose_tpu import constants
+
+__all__ = [
+    "POSE_OFFSETS", "render_scene", "sample_pose", "write_coco_dataset",
+]
+
+#: Canonical upright stick figure, internal 18-part order, ~200 px tall at
+#: scale 1 (nose above neck, arms down-angled, legs below the hips).
+POSE_OFFSETS = np.array([
+    (0, -95),            # 0 nose
+    (0, -70),            # 1 neck
+    (-25, -70),          # 2 right shoulder
+    (-32, -35),          # 3 right elbow
+    (-36, 0),            # 4 right wrist
+    (25, -70),           # 5 left shoulder
+    (32, -35),           # 6 left elbow
+    (36, 0),             # 7 left wrist
+    (-18, 0),            # 8 right hip
+    (-20, 45),           # 9 right knee
+    (-20, 90),           # 10 right ankle
+    (18, 0),             # 11 left hip
+    (20, 45),            # 12 left knee
+    (20, 90),            # 13 left ankle
+    (-8, -103),          # 14 right eye
+    (8, -103),           # 15 left eye
+    (-17, -99),          # 16 right ear
+    (17, -99),           # 17 left ear
+], dtype=np.float64)
+
+
+def _joint_color(j: int) -> Tuple[int, int, int]:
+    """A saturated, unique BGR color per joint (hue wheel)."""
+    r, g, b = colorsys.hsv_to_rgb(j / 18.0, 1.0, 1.0)
+    return int(b * 255), int(g * 255), int(r * 255)
+
+
+def _limb_color(li: int) -> Tuple[int, int, int]:
+    """A dimmer, unique BGR color per limb (offset half-hue steps keep
+    limb colors distinct from joint colors)."""
+    r, g, b = colorsys.hsv_to_rgb((li + 0.5) / 19.0, 0.85, 0.55)
+    return int(b * 255), int(g * 255), int(r * 255)
+
+
+def sample_pose(
+    rng: np.random.Generator, h: int, w: int,
+    scale_range: Tuple[float, float] = (0.55, 0.85),
+    jitter: float = 3.0,
+) -> np.ndarray:
+    """One person's internal-order keypoints [18, 3] (x, y, vis=2), fully
+    inside an ``h`` x ``w`` canvas."""
+    scale = rng.uniform(*scale_range)
+    span = POSE_OFFSETS * scale
+    x_lo, x_hi = -span[:, 0].min() + 6, w - span[:, 0].max() - 6
+    y_lo, y_hi = -span[:, 1].min() + 6, h - span[:, 1].max() - 6
+    cx = rng.uniform(min(x_lo, x_hi), max(x_lo, x_hi))
+    cy = rng.uniform(min(y_lo, y_hi), max(y_lo, y_hi))
+    kpts = np.zeros((18, 3))
+    kpts[:, :2] = np.array([cx, cy]) + span + rng.normal(0, jitter, (18, 2))
+    kpts[:, 0] = np.clip(kpts[:, 0], 1, w - 2)
+    kpts[:, 1] = np.clip(kpts[:, 1], 1, h - 2)
+    kpts[:, 2] = 2
+    return kpts
+
+
+def render_scene(
+    rng: np.random.Generator,
+    n_people: int,
+    h: int,
+    w: int,
+    scale_range: Tuple[float, float] = (0.55, 0.85),
+    noise: float = 8.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(image [h, w, 3] uint8 BGR, keypoints [n_people, 18, 3]).
+
+    People are drawn limbs-first (colored 3 px lines), joints on top
+    (colored 4 px disks) over a dark noisy background — each joint/limb
+    class has a unique color, so a from-scratch CNN can learn the
+    joint-heatmap and limb-PAF mappings quickly.
+    """
+    import cv2
+
+    image = rng.normal(28.0, noise, (h, w, 3)).clip(0, 255)
+    image = image.astype(np.uint8)
+    kpts = np.stack(
+        [sample_pose(rng, h, w, scale_range) for _ in range(n_people)]
+    )
+    for person in kpts:
+        pts = person[:, :2]
+        for li, (a, b) in enumerate(constants.COCO_PAIRS):
+            cv2.line(
+                image,
+                tuple(np.round(pts[a]).astype(int)),
+                tuple(np.round(pts[b]).astype(int)),
+                _limb_color(li), thickness=3, lineType=cv2.LINE_8,
+            )
+        for j in range(18):
+            cv2.circle(
+                image, tuple(np.round(pts[j]).astype(int)), 4,
+                _joint_color(j), thickness=-1, lineType=cv2.LINE_8,
+            )
+    return image, kpts
+
+
+def _coco_annotation(ann_id: int, img_id: int, person: np.ndarray) -> dict:
+    """One person's internal [18, 3] keypoints -> a COCO annotation row
+    (17 keypoints in COCO order; bbox/area from the keypoint extent)."""
+    coco_kp = constants.internal_to_coco_keypoints(person)
+    xs, ys = coco_kp[:, 0], coco_kp[:, 1]
+    x0, y0 = float(xs.min()), float(ys.min())
+    bw, bh = float(xs.max() - x0), float(ys.max() - y0)
+    # pad the tight keypoint bbox like a real person box would extend
+    # beyond the joints (head top / hands / feet)
+    pad = 0.1
+    bbox = [x0 - pad * bw, y0 - pad * bh, bw * (1 + 2 * pad),
+            bh * (1 + 2 * pad)]
+    flat = []
+    for x, y, v in coco_kp:
+        flat.extend([float(x), float(y), int(v)])
+    return {
+        "id": ann_id,
+        "image_id": img_id,
+        "category_id": 1,
+        "keypoints": flat,
+        "num_keypoints": int((coco_kp[:, 2] > 0).sum()),
+        "bbox": [round(v, 2) for v in bbox],
+        "area": round(bbox[2] * bbox[3], 2),
+        "iscrowd": 0,
+    }
+
+
+def write_coco_dataset(
+    out_dir: str,
+    n_images: int,
+    h: int = 368,
+    w: int = 368,
+    mode: str = "val",
+    seed: int = 0,
+    max_people: int = 3,
+    scale_range: Tuple[float, float] = (0.55, 0.85),
+) -> Tuple[str, str]:
+    """Write ``n_images`` rendered scenes + COCO-format annotations.
+
+    Layout matches what both eval stacks expect
+    (reference eval.py:52-54): ``{out_dir}/images/{mode}/NNNN.png`` and
+    ``{out_dir}/annotations_{mode}.json``. Returns
+    (image_dir, annotation_file).
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    image_dir = os.path.join(out_dir, "images", mode)
+    os.makedirs(image_dir, exist_ok=True)
+
+    images: List[dict] = []
+    annotations: List[dict] = []
+    ann_id = 1
+    for i in range(n_images):
+        img_id = 1000 + i
+        n_people = int(rng.integers(1, max_people + 1))
+        image, kpts = render_scene(
+            rng, n_people, h, w, scale_range=scale_range
+        )
+        name = f"{img_id}.png"
+        cv2.imwrite(os.path.join(image_dir, name), image)
+        images.append(
+            {"id": img_id, "file_name": name, "width": w, "height": h}
+        )
+        for person in kpts:
+            annotations.append(_coco_annotation(ann_id, img_id, person))
+            ann_id += 1
+
+    anno = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{
+            "id": 1,
+            "name": "person",
+            "keypoints": list(constants.COCO_KEYPOINTS),
+            "skeleton": [],
+        }],
+    }
+    anno_file = os.path.join(out_dir, f"annotations_{mode}.json")
+    with open(anno_file, "w") as f:
+        json.dump(anno, f)
+    return image_dir, anno_file
