@@ -57,17 +57,38 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--dtype", choices=["bfloat16", "int8", "int8_static"],
+                   default="bfloat16")
     p.add_argument("--trace-dir", default="/tmp/fwd_trace")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from torch_ekpose_tpu.models import cast_params, init_model
+    from torch_ekpose_tpu.models import (
+        cast_params, get_model, init_model, quantize_variables,
+    )
 
     model, variables = init_model(
         "vgg2016", input_shape=(1, args.height, args.width, 3),
         dtype=jnp.bfloat16)
-    variables = cast_params(variables, jnp.bfloat16)
+    if args.dtype == "int8":
+        model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+        variables = quantize_variables(variables, model)
+    elif args.dtype == "int8_static":
+        # same construction as profile_batched.py: calibrate on one
+        # random frame batch — scale VALUES don't affect op timings
+        from torch_ekpose_tpu.models import calibrate_act_scales
+        from torch_ekpose_tpu.runtime.estimator import preprocess_jax
+
+        dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+        model = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
+        variables = quantize_variables(variables, dyn_model)
+        calib = jax.vmap(lambda f: preprocess_jax(f, "vgg"))(
+            jnp.asarray(np.random.default_rng(1).integers(
+                0, 255, (2, args.height, args.width, 3)), jnp.uint8))
+        variables = calibrate_act_scales(variables, dyn_model, [calib])
+    else:
+        variables = cast_params(variables, jnp.bfloat16)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (args.batch, args.height, args.width, 3)),

@@ -233,8 +233,13 @@ def _insert_act_scales(params, absmax):
     (module paths parallel the param paths)."""
     if isinstance(params, dict) and "kernel_q" in params:
         out = dict(params)
-        out["act_scale"] = np.asarray(
-            max(float(absmax["act_absmax"]) / 127.0, 1e-12), np.float32
+        # jnp, not np: a numpy leaf would make the calibrated tree
+        # host-mixed, and jit re-uploads every host leaf on EVERY call —
+        # ~80 per-call DevicePuts through the device link was the real
+        # cause of the "int8_static batch-1 collapse" (46/83 fps; the
+        # traced device time of that program is ~2.2 ms ≈ 450 fps)
+        out["act_scale"] = jnp.asarray(
+            max(float(absmax["act_absmax"]) / 127.0, 1e-12), jnp.float32
         )
         return out
     if isinstance(params, dict):

@@ -194,7 +194,10 @@ class AotPipeline:
 
     def __init__(self, meta: Dict[str, Any], variables, fwd, dec):
         self.meta = meta
-        self.variables = variables
+        # commit once: deserialized artifacts hand us host arrays, and a
+        # host leaf would be re-uploaded on every call (estimator.py has
+        # the full story)
+        self.variables = jax.device_put(variables)
         self._fwd = fwd
         self._dec = dec
         self.config: Config = get_default_config()

@@ -182,7 +182,14 @@ class PoseEstimator:
                 # streaming (the dominant HBM traffic at batch 1) and
                 # drops per-call casts
                 variables = cast_params(variables, compute_dtype)
-        self.variables = variables
+        # Commit the tree to the default device ONCE. jit does not cache
+        # host (numpy) arguments — every call re-uploads each host leaf,
+        # and a converted checkpoint (numpy tree) or a calibrated int8
+        # tree with host scalars then pays per-call DevicePuts through
+        # the device link (~80 puts/call was the measured cause of the
+        # int8_static batch-1 collapse). Already-device leaves alias for
+        # free.
+        self.variables = jax.device_put(variables)
         #: Compile forward+decode as ONE XLA program (default). The merged
         #: program avoids the inter-program device copy of the paf/heatmap
         #: buffers; since the decoder's gathers became one-hot contractions
@@ -223,9 +230,9 @@ class PoseEstimator:
                     arr = arr[None]
                 yield prep(arr)
 
-        self.variables = calibrate_act_scales(
+        self.variables = jax.device_put(calibrate_act_scales(
             self.variables, self._calib_model, inputs()
-        )
+        ))
         self._needs_calib = False
 
     def _maybe_calibrate(self, images: np.ndarray) -> None:
