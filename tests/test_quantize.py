@@ -45,6 +45,127 @@ def test_quant_conv_matches_manual_dequant():
     np.testing.assert_allclose(np.asarray(out[0]), want, rtol=1e-5, atol=1e-4)
 
 
+def test_folded_static_realize_matches_dynamic_exactly():
+    """The folded pipeline defers the dequant math, it does not change
+    it: a single static QuantConv's record realized to f32 is
+    bit-identical to the dynamic QuantConv's output when ``act_scale``
+    equals the dynamic per-example scale."""
+    from torch_ekpose_tpu.models.quant import QuantAcc, realize
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 5, 5, 3)).astype(np.float32)
+    kernel = rng.normal(size=(3, 3, 3, 4)).astype(np.float32)
+    bias = rng.normal(size=(4,)).astype(np.float32)
+    q, scale = quantize_kernel(kernel)
+    base = {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale),
+            "bias": jnp.asarray(bias)}
+
+    dyn = QuantConv(4, kernel=3, dtype=jnp.float32).apply(
+        {"params": base}, jnp.asarray(x)
+    )
+    sx = np.abs(x).max() / 127.0
+    rec = QuantConv(4, kernel=3, dtype=jnp.float32, static_act=True,
+                    fold=True).apply(
+        {"params": {**base, "act_scale": jnp.asarray(sx, jnp.float32)}},
+        jnp.asarray(x),
+    )
+    assert isinstance(rec, QuantAcc) and not rec.relu
+    np.testing.assert_array_equal(
+        np.asarray(realize(rec, jnp.float32)), np.asarray(dyn)
+    )
+
+
+def test_folded_chain_matches_manual_requantize():
+    """A folded conv->conv edge (one int32 -> s8 pass) matches the
+    manual f32 dequant -> relu -> requant -> conv recomputation to
+    within one rounding quantum of the final output scale (f32
+    associativity can flip isolated round() calls; the math is
+    otherwise identical)."""
+    import flax.linen as nn
+
+    from torch_ekpose_tpu.models.quant import realize
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    k1 = rng.normal(size=(3, 3, 3, 4)).astype(np.float32)
+    k2 = rng.normal(size=(3, 3, 4, 6)).astype(np.float32)
+    b1 = rng.normal(size=(4,)).astype(np.float32)
+    b2 = rng.normal(size=(6,)).astype(np.float32)
+    q1, s1 = quantize_kernel(k1)
+    q2, s2 = quantize_kernel(k2)
+    sx1 = np.float32(np.abs(x).max() / 127.0)
+
+    # manual mid-chain activations (f32 dequant + relu), then their scale
+    xq = np.clip(np.round(x / sx1), -127, 127).astype(np.float32)
+    pad = np.pad(xq[0], ((1, 1), (1, 1), (0, 0)))
+    mid = np.zeros((8, 8, 4), np.float32)
+    for i in range(8):
+        for j in range(8):
+            mid[i, j] = np.einsum(
+                "hwc,hwco->o", pad[i:i + 3, j:j + 3], q1.astype(np.float32)
+            ) * (sx1 * s1) + b1
+    mid = np.maximum(mid, 0.0)
+    sx2 = np.float32(np.abs(mid).max() / 127.0)
+
+    class Chain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            r = QuantConv(4, kernel=3, dtype=jnp.float32, static_act=True,
+                          fold=True, name="c1")(x)
+            r = r.replace(relu=True)
+            r = QuantConv(6, kernel=3, dtype=jnp.float32, static_act=True,
+                          fold=True, name="c2")(r)
+            return realize(r, jnp.float32)
+
+    variables = {"params": {
+        "c1": {"kernel_q": jnp.asarray(q1), "scale": jnp.asarray(s1),
+               "bias": jnp.asarray(b1),
+               "act_scale": jnp.asarray(sx1, jnp.float32)},
+        "c2": {"kernel_q": jnp.asarray(q2), "scale": jnp.asarray(s2),
+               "bias": jnp.asarray(b2),
+               "act_scale": jnp.asarray(sx2, jnp.float32)},
+    }}
+    got = np.asarray(Chain().apply(variables, jnp.asarray(x)))
+
+    mq = np.clip(np.round(mid / sx2), 0, 127).astype(np.float32)
+    pad2 = np.pad(mq, ((1, 1), (1, 1), (0, 0)))
+    want = np.zeros((8, 8, 6), np.float32)
+    for i in range(8):
+        for j in range(8):
+            want[i, j] = np.einsum(
+                "hwc,hwco->o", pad2[i:i + 3, j:j + 3], q2.astype(np.float32)
+            ) * (sx2 * s2) + b2
+    # one mid-chain quantum propagated through conv2's int8 weights
+    quantum = float(sx2 * np.abs(s2).max()) * 127 * 9
+    np.testing.assert_allclose(got[0], want, atol=quantum * 0.02 + 1e-4)
+    # and the overwhelming majority of requantized values agree exactly
+    frac_exact = float(
+        np.isclose(got[0], want, atol=1e-4).mean()
+    )
+    assert frac_exact > 0.95, frac_exact
+
+
+def test_max_pool_commutes_with_quant_acc():
+    """max pooling the raw int32 accumulator == realizing first and
+    pooling the activations — exactly (the per-channel affine + relu are
+    monotone, so the same element wins either way)."""
+    from torch_ekpose_tpu.models.layers import max_pool
+    from torch_ekpose_tpu.models.quant import QuantAcc, realize
+
+    rng = np.random.default_rng(7)
+    rec = QuantAcc(
+        acc=jnp.asarray(rng.integers(-500, 500, (1, 6, 6, 4)), jnp.int32),
+        mult=jnp.asarray(rng.uniform(0.01, 2.0, (4,)), jnp.float32),
+        bias=jnp.asarray(rng.normal(size=(4,)), jnp.float32),
+        relu=True,
+    )
+    pooled_rec = max_pool(rec, 2, 2)
+    assert isinstance(pooled_rec, QuantAcc) and pooled_rec.relu
+    got = np.asarray(realize(pooled_rec, jnp.float32))
+    want = np.asarray(max_pool(realize(rec, jnp.float32), 2, 2))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_quantize_kernel_per_channel_roundtrip():
     """Per-output-channel scales: a channel scaled 100x quantizes to the
     same int grid as its unscaled twin; all-zero channels are safe."""
@@ -225,6 +346,43 @@ def test_static_forward_close_to_f32(vgg_model_and_vars):
     (paf, ht), _ = model.apply(variables, x, train=False)
     (qpaf, qht), _ = static_model.apply(svars, x, train=False)
     for a, b in ((paf, qpaf), (ht, qht)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.99, cos
+
+
+def test_folded_model_matches_static_model(vgg_model_and_vars):
+    """quantize="folded" (the deferred-dequant integer pipeline — a
+    measured perf negative result kept opt-in, docs/PERF.md) shares the
+    static model's param tree and reproduces its output to quantization
+    precision. The only numeric difference: folded edges skip the
+    per-conv bf16 materialization, so isolated requantize roundings
+    flip by one quantum."""
+    from torch_ekpose_tpu.models import calibrate_act_scales
+
+    _, variables = vgg_model_and_vars
+    dyn_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize=True)
+    static_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize="static")
+    folded_model = get_model("vgg2016", dtype=jnp.bfloat16, quantize="folded")
+    qvars = quantize_variables(variables, dyn_model)
+    calib = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    svars = calibrate_act_scales(qvars, dyn_model, [calib])
+
+    # identical tree: the same calibrated variables drive both modes
+    assert jax.tree.structure(
+        jax.eval_shape(
+            lambda v: folded_model.apply(v, calib[:1], train=False), svars
+        )
+    ) == jax.tree.structure(
+        jax.eval_shape(
+            lambda v: static_model.apply(v, calib[:1], train=False), svars
+        )
+    )
+    x = calib[:1]
+    (spaf, sht), _ = static_model.apply(svars, x, train=False)
+    (fpaf, fht), _ = folded_model.apply(svars, x, train=False)
+    for a, b in ((spaf, fpaf), (sht, fht)):
         a = np.asarray(a, np.float32).ravel()
         b = np.asarray(b, np.float32).ravel()
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))

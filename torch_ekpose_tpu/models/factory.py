@@ -110,6 +110,10 @@ def get_model(
     see :mod:`torch_ekpose_tpu.models.quant`). Convert a float tree with
     :func:`models.quant.quantize_variables`, and calibrate static scales
     with :func:`models.quant.calibrate_act_scales`.
+    ``quantize="folded"`` is the static variant running the folded
+    integer pipeline (identical param tree, deferred dequantization) —
+    measured SLOWER than "static" on v5e, kept as a tested negative
+    result (docs/PERF.md).
     """
     try:
         builder = MODEL_REGISTRY[model_name]

@@ -64,6 +64,13 @@ class VggBranch(nn.Module):
                 quantize=self.quantize, name=f"conv_{torch_idx}",
             )(x, train=train)
             torch_idx += 2  # conv + relu in the torch Sequential
+        if self.quantize == "folded":
+            # folded int8: materialize the last deferred record — the
+            # final 1x1 projection runs bf16 (it writes the PAF/heatmap
+            # values the decoder reads)
+            from torch_ekpose_tpu.models.quant import realize
+
+            x = realize(x, self.dtype)
         x = ConvBlock(
             self.out_channels, kernel=1, act=None, dtype=self.dtype,
             kernel_init=final_layer_init, name=f"conv_{torch_idx}",
@@ -108,7 +115,7 @@ class CpmHead(nn.Module):
     paf_channels: int = constants.NUM_PAF_CHANNELS
     heatmap_channels: int = constants.NUM_HEATMAP_CHANNELS
     dtype: Dtype = jnp.float32
-    quantize: Any = False  # int8 mode ("vgg" only): False | True | "static"
+    quantize: Any = False  # int8 ("vgg" only): False|True|"static"|"folded"
 
     def _branch(self, out_channels: int, first_stage: bool, name: str):
         if self.branch == "vgg":

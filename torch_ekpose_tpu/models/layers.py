@@ -47,12 +47,13 @@ class ConvBlock(nn.Module):
     #: swap the conv for an int8-weight QuantConv (see models/quant.py);
     #: the surrounding act stays identical, the param path stays "conv".
     #: False | True (dynamic activation scales) | "static" (calibrated)
+    #: | "folded" (static + deferred dequant — tested negative result)
     quantize: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.quantize:
-            from torch_ekpose_tpu.models.quant import QuantConv
+            from torch_ekpose_tpu.models.quant import QuantAcc, QuantConv
 
             x = QuantConv(
                 self.features,
@@ -60,9 +61,21 @@ class ConvBlock(nn.Module):
                 stride=self.stride,
                 use_bias=self.use_bias,
                 dtype=self.dtype,
-                static_act=self.quantize == "static",
+                static_act=self.quantize in ("static", "folded"),
+                fold=self.quantize == "folded",
                 name="conv",
             )(x)
+            if isinstance(x, QuantAcc):
+                # folded integer pipeline (quantize="folded", a measured
+                # negative result — see docs/PERF.md): the relu is
+                # deferred into the record; the consumer (next folded
+                # QuantConv, max_pool, or quant.realize) applies it
+                # fused with its own pass
+                if self.use_bn or self.act not in (None, "relu"):
+                    raise ValueError(
+                        "folded int8 supports plain conv+relu blocks only"
+                    )
+                return x.replace(relu=self.act == "relu")
         else:
             x = nn.Conv(
                 self.features,
@@ -146,7 +159,18 @@ class DSConv(nn.Module):
 
 
 def max_pool(x, window: int, stride: int, padding=0):
-    """2D max pool over NHWC."""
+    """2D max pool over NHWC.
+
+    Accepts a folded-int8 ``QuantAcc`` record too: the int32 -> s8
+    requantize (positive per-channel scale, round, clip) is monotone,
+    so max pooling commutes with it — the pool is DEFERRED into the
+    record and the consumer pools 1-byte int8 data after its fused
+    requantize, instead of 4-byte accumulators or 2-byte bf16 here.
+    """
+    from torch_ekpose_tpu.models.quant import QuantAcc
+
+    if isinstance(x, QuantAcc):
+        return x.replace(pools=x.pools + ((window, stride, padding),))
     pad = [(padding, padding), (padding, padding)]
     return nn.max_pool(
         x, (window, window), strides=(stride, stride), padding=pad

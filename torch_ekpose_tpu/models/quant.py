@@ -36,9 +36,10 @@ and stays bf16 (``get_model(..., quantize=True)`` rejects it).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,11 +47,91 @@ import numpy as np
 from torch_ekpose_tpu.models.layers import Dtype
 
 __all__ = [
+    "QuantAcc",
     "QuantConv",
     "calibrate_act_scales",
     "has_act_scales",
     "quantize_variables",
+    "realize",
 ]
+
+
+@flax.struct.dataclass
+class QuantAcc:
+    """Deferred output of a static-scale quantized conv — the folded
+    integer pipeline record.
+
+    Instead of materializing bf16 activations after every conv (int32
+    accumulator -> dequantize -> relu -> bf16 write, then the NEXT conv
+    reads them back and re-quantizes to s8 — three full-tensor
+    elementwise passes per edge), a static QuantConv returns the raw
+    int32 MXU accumulator plus the per-channel affine that maps it to
+    real activations. The consumer folds dequantize + bias + relu +
+    its own requantize into ONE int32 -> s8 elementwise pass in its own
+    activation scale (the classic integer-inference pipeline). Per
+    conv->conv edge this cuts the elementwise HBM traffic from
+    4+2 + 2+1 bytes/element to 4+1 (docs/PERF.md measured the unfolded
+    chains at ~1.5 ms of the 11.8 ms int8_static batch-8 forward).
+
+    ``relu`` is deferred too: it is monotone, so it folds into the
+    consumer's clip-low bound. Max pools are deferred the same way
+    (``pools``): the whole int32 -> s8 requantize (positive per-channel
+    scale, round, clip) is monotone non-decreasing, so it commutes with
+    max — the consumer requantizes FIRST and then pools 1-byte int8
+    data instead of 4-byte accumulators or 2-byte bf16 activations.
+    The three VGG prefix pools sit on the largest tensors in the
+    network, so this halves their edge traffic vs the bf16 pipeline
+    (measured: pooling the raw int32 accumulator instead was a net
+    LOSS — reduce-window can't deduplicate the 4-byte materialization).
+    """
+
+    acc: jnp.ndarray  # int32 [N, H, W, C] conv accumulator
+    mult: jnp.ndarray  # float32 [C]: act_scale * per-channel weight scale
+    bias: Optional[jnp.ndarray]  # float32 [C] or None
+    relu: bool = flax.struct.field(pytree_node=False, default=False)
+    #: deferred max pools, applied AFTER requantize/realize: tuple of
+    #: (window, stride, padding) in application order
+    pools: tuple = flax.struct.field(pytree_node=False, default=())
+
+    @property
+    def shape(self):
+        n, h, w, c = self.acc.shape
+        for window, stride, padding in self.pools:
+            h = (h + 2 * padding - window) // stride + 1
+            w = (w + 2 * padding - window) // stride + 1
+        return (n, h, w, c)
+
+
+def _apply_pools(y, pools, *, pad_value):
+    """Run the deferred max pools. ``pad_value`` must be the domain's
+    minimum (identity of max): -128 for int8, -inf for floats."""
+    import jax.lax as lax
+
+    for window, stride, padding in pools:
+        if padding:
+            cfg = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+        else:
+            cfg = [(0, 0)] * 4
+        y = lax.reduce_window(
+            y, jnp.asarray(pad_value, y.dtype), lax.max,
+            (1, window, window, 1), (1, stride, stride, 1), cfg,
+        )
+    return y
+
+
+def realize(x, dtype):
+    """Materialize a :class:`QuantAcc` as real activations in ``dtype``
+    (one fused dequantize+bias+relu pass). Non-records pass through —
+    safe to call at every chain boundary."""
+    if not isinstance(x, QuantAcc):
+        return x
+    y = x.acc.astype(jnp.float32) * x.mult
+    if x.bias is not None:
+        y = y + x.bias
+    if x.relu:
+        y = jnp.maximum(y, 0.0)
+    y = _apply_pools(y, x.pools, pad_value=-jnp.inf)
+    return y.astype(dtype)
 
 
 #: multiply by the f32 reciprocal instead of dividing by 127: XLA's
@@ -83,6 +164,14 @@ class QuantConv(nn.Module):
     parameter ``act_scale`` (see :func:`calibrate_act_scales`) and the
     program has no reduction. Accumulation is int32; the result is
     rescaled by ``sx * scale`` in float32 and cast to ``dtype``.
+
+    With ``fold=True`` (requires ``static_act``) the raw accumulator is
+    instead returned as a :class:`QuantAcc` record (the classic folded
+    integer pipeline) — consumers are either another folded QuantConv
+    (which fuses dequant+relu+requant into one int32 -> s8 pass) or
+    :func:`realize`. Measured a NET LOSS on v5e vs the default path
+    (XLA already emits the dequant->requant chain as one fusion; see
+    docs/PERF.md) — kept as an opt-in tested negative result.
     """
 
     features: int
@@ -91,9 +180,16 @@ class QuantConv(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     static_act: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if isinstance(x, QuantAcc) and not (self.static_act and self.fold):
+            raise TypeError(
+                "QuantAcc records only flow between folded QuantConvs"
+            )
+        if self.fold and not self.static_act:
+            raise ValueError("fold=True requires static_act=True")
         in_features = x.shape[-1]
         kshape = (self.kernel, self.kernel, in_features, self.features)
         kernel_q = self.param(
@@ -102,7 +198,6 @@ class QuantConv(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        xf = x.astype(jnp.float32)
         if self.static_act:
             # calibrated per-layer scalar: no reduction in the serving
             # program (the dynamic max|x| reduction serializes every
@@ -111,7 +206,26 @@ class QuantConv(nn.Module):
                 "act_scale", nn.initializers.ones, (), jnp.float32
             )
             sx = jnp.maximum(act_scale, 1e-12)
+            if isinstance(x, QuantAcc):
+                # folded edge: the producer's dequant+bias+relu and our
+                # requantize collapse into ONE int32 -> s8 pass in our
+                # scale. relu (values >= 0) becomes the clip-low bound,
+                # and deferred max pools run AFTER the requantize on
+                # 1-byte data (the requantize is monotone per channel,
+                # so max commutes with it exactly).
+                y = x.acc.astype(jnp.float32) * (x.mult / sx)
+                if x.bias is not None:
+                    y = y + x.bias / sx
+                lo = 0.0 if x.relu else -127.0
+                xq = jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
+                xq = _apply_pools(xq, x.pools, pad_value=-128)
+            else:
+                xf = x.astype(jnp.float32)
+                xq = jnp.clip(
+                    jnp.round(xf / sx), -127, 127
+                ).astype(jnp.int8)
         else:
+            xf = x.astype(jnp.float32)
             # per-EXAMPLE activation scale (reduce over H, W, C only):
             # batched and batch-1 paths then produce identical values
             # for the same image, so eval results don't depend on
@@ -123,7 +237,7 @@ class QuantConv(nn.Module):
             # calibration hook: max|x| over the batch, recorded only when
             # apply() is called with mutable=["intermediates"]
             self.sow("intermediates", "act_absmax", jnp.max(sx) * 127.0)
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq,
             kernel_q,
@@ -132,11 +246,19 @@ class QuantConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.float32) * (sx * scale)  # sx broadcasts [N,1,1,1]
-        if self.use_bias:
-            bias = self.param(
+        bias = (
+            self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
+            if self.use_bias
+            else None
+        )
+        if self.fold:
+            # defer dequantization: hand the consumer the accumulator +
+            # affine; a trailing ConvBlock relu sets the record's flag
+            return QuantAcc(acc=y, mult=sx * scale, bias=bias, relu=False)
+        y = y.astype(jnp.float32) * (sx * scale)  # sx broadcasts [N,1,1,1]
+        if bias is not None:
             y = y + bias
         return y.astype(self.dtype)
 

@@ -62,7 +62,7 @@ class VGG19Backbone(nn.Module):
     #: int8 serving mode: quantize every conv except the input conv
     #: (conv_0 reads raw normalized pixels and is a negligible FLOP
     #: share — standard PTQ practice keeps it high-precision)
-    quantize: Any = False  # False | True (dynamic) | "static"
+    quantize: Any = False  # False | True (dynamic) | "static" | "folded"
     #: run the first N pooled blocks (N in 0..3) through the weight-exact
     #: space-to-depth decomposition (ops/s2d_conv.py) — the low-channel
     #: full-resolution prefix where XLA's conv emitter runs at 1-13% of
@@ -111,4 +111,11 @@ class VGG19Backbone(nn.Module):
                       quantize=self.quantize, name="conv_25")(
             x, train=train
         )
+        if self.quantize == "folded":
+            # folded int8: the backbone features feed many consumers
+            # (both stage-1 branches + every stage concat), so
+            # materialize the deferred record once here
+            from torch_ekpose_tpu.models.quant import realize
+
+            x = realize(x, self.dtype)
         return x
