@@ -67,6 +67,7 @@ def main():
     args = ap.parse_args()
 
     from torch_ekpose_tpu.data import BatchLoader, CocoKeypoints
+    from torch_ekpose_tpu.data import transforms as T
     from torch_ekpose_tpu.data.synthetic_coco import write_coco_dataset
 
     workdir = tempfile.mkdtemp(prefix="inputbench_")
@@ -75,11 +76,18 @@ def main():
         seed=3, max_people=3,
     )
 
+    # the REAL training chain, exactly as cli/train.py builds it:
+    # TRAIN_PREPROCESS (rescale/rotate/crop/pad/flip) + color jitter
+    train_kw = dict(
+        preprocess=T.TRAIN_PREPROCESS(args.size),
+        image_transform=T.image_transform_train,
+        input_size=args.size,
+    )
     ds_host = CocoKeypoints(
-        image_dir, anno_file, target_mode="host", input_size=args.size
+        image_dir, anno_file, target_mode="host", **train_kw
     )
     ds_device = CocoKeypoints(
-        image_dir, anno_file, target_mode="device", input_size=args.size
+        image_dir, anno_file, target_mode="device", **train_kw
     )
 
     n_probe = min(args.images, 32)

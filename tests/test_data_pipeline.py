@@ -318,3 +318,123 @@ def test_process_loader_propagates_worker_error():
             list(loader)
     finally:
         loader.close()
+
+
+def _pil_jitter_chain(image, rng, strength=0.1):
+    """The PIL ImageEnhance chain the vectorized jitter replaced
+    (torchvision ColorJitter's PIL backend, reference
+    transforms.py:92-95) — the parity target for the tests below."""
+    import PIL.ImageEnhance
+
+    ops = [
+        ("brightness", PIL.ImageEnhance.Brightness),
+        ("contrast", PIL.ImageEnhance.Contrast),
+        ("saturation", PIL.ImageEnhance.Color),
+        ("hue", None),
+    ]
+    order = rng.permutation(len(ops))
+    for i in order:
+        name, enhancer = ops[i]
+        if name == "hue":
+            shift = rng.uniform(-strength, strength)
+            hsv = np.asarray(image.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+            image = PIL.Image.fromarray(
+                hsv.astype(np.uint8), "HSV"
+            ).convert("RGB")
+        else:
+            factor = rng.uniform(1 - strength, 1 + strength)
+            image = enhancer(image).enhance(factor)
+    return np.asarray(image)
+
+
+def test_jitter_enhance_ops_bit_exact_vs_pil():
+    """brightness/contrast/saturation are BIT-IDENTICAL to
+    PIL.ImageEnhance per op: each is Image.blend against a degenerate
+    image, and _jitter_op reproduces Pillow's convert("L") fixed
+    point, ImageStat's rounded mean, and Blend.c's float32
+    deg + alpha*(img-deg) clip/truncate math exactly."""
+    import PIL.ImageEnhance
+
+    enhancers = {
+        "brightness": PIL.ImageEnhance.Brightness,
+        "contrast": PIL.ImageEnhance.Contrast,
+        "saturation": PIL.ImageEnhance.Color,
+    }
+    master = np.random.default_rng(11)
+    factors = [0.9, 0.903847, 1.0, 1.05, 1.1, 0.0, 1.5]
+    for trial in range(4):
+        arr = master.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        for name, enhancer in enhancers.items():
+            for factor in factors:
+                want = np.asarray(
+                    enhancer(PIL.Image.fromarray(arr)).enhance(factor)
+                )
+                got = T._jitter_op(arr, name, factor)
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"{name} f={factor} trial {trial}"
+                )
+
+
+def test_jitter_hue_close_to_pil():
+    """The hue op runs through cv2's SIMD full-range HSV round-trip
+    instead of PIL's scalar converter — same uint8 shift semantics,
+    pinned to PIL within quantization noise (the two converters round
+    H/S differently by ~1 unit; the shift itself is +-25 units)."""
+    master = np.random.default_rng(7)
+    for trial in range(6):
+        arr = master.integers(0, 256, (41, 59, 3), dtype=np.uint8)
+        shift = float(master.uniform(-0.1, 0.1))
+        hsv = np.asarray(
+            PIL.Image.fromarray(arr).convert("HSV"), dtype=np.int16
+        )
+        hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+        want = np.asarray(
+            PIL.Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+        ).astype(np.int16)
+        got = T._jitter_op(arr, "hue", shift).astype(np.int16)
+        diff = np.abs(got - want)
+        assert diff.mean() <= 2.0, f"trial {trial}: mean {diff.mean()}"
+        assert diff.max() <= 32, f"trial {trial}: max {diff.max()}"
+
+
+def test_color_jitter_chain_matches_pil_within_hue_noise():
+    """The full random chain, same rng stream as the PIL chain: the
+    only divergence allowed is the hue converter's quantization."""
+    master = np.random.default_rng(11)
+    for trial in range(8):
+        arr = master.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        seed = int(master.integers(1 << 30))
+        want = _pil_jitter_chain(
+            PIL.Image.fromarray(arr), np.random.default_rng(seed)
+        ).astype(np.int16)
+        got = T._color_jitter(arr, np.random.default_rng(seed)).astype(
+            np.int16
+        )
+        diff = np.abs(got - want)
+        assert diff.mean() <= 2.0, f"trial {trial}: mean {diff.mean()}"
+        assert diff.max() <= 48, f"trial {trial}: max {diff.max()}"
+
+
+def test_image_transform_train_grayscale_and_normalize_paths():
+    """The rare-branch paths of image_transform_train: grayscale
+    conversion equals PIL convert('L').convert('RGB'), and the
+    normalize math equals the reference's ((x/255)-mean)/std."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    want_gray = np.asarray(
+        PIL.Image.fromarray(arr).convert("L").convert("RGB")
+    )
+    got_gray = np.repeat(T._gray_u8(arr)[:, :, None], 3, axis=2)
+    np.testing.assert_array_equal(got_gray, want_gray)
+
+    out = T._normalize_hwc(arr)
+    mean = np.asarray(constants.IMAGENET_MEAN, np.float32)
+    std = np.asarray(constants.IMAGENET_STD, np.float32)
+    want = ((arr.astype(np.float32) / 255.0) - mean) / std
+    np.testing.assert_array_equal(out, want)
+    # an f32 caller array is never mutated in place
+    f32 = arr.astype(np.float32)
+    before = f32.copy()
+    T._normalize_hwc(f32)
+    np.testing.assert_array_equal(f32, before)

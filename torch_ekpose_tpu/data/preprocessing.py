@@ -35,12 +35,14 @@ def inverse_rtpose_preprocess(image: np.ndarray) -> np.ndarray:
 def vgg_preprocess(image: np.ndarray) -> np.ndarray:
     """/255, BGR->RGB, imagenet mean/std, HWC->CHW
     (reference preprocessing.py:32-43)."""
-    image = image.astype(np.float32) / 255.0
+    # in-place on fresh copies, same op sequence as
+    # ((x/255)[..., ::-1] - mean) / std — bit-identical, no temporaries
+    image = image.astype(np.float32)
+    image /= 255.0
     out = image[:, :, ::-1].copy()
-    mean = np.asarray(constants.IMAGENET_MEAN, np.float32)
-    std = np.asarray(constants.IMAGENET_STD, np.float32)
-    out = (out - mean) / std
-    return out.transpose((2, 0, 1)).astype(np.float32)
+    out -= np.asarray(constants.IMAGENET_MEAN, np.float32)
+    out /= np.asarray(constants.IMAGENET_STD, np.float32)
+    return np.ascontiguousarray(out.transpose((2, 0, 1)))
 
 
 def inverse_vgg_preprocess(image: np.ndarray) -> np.ndarray:

@@ -415,11 +415,18 @@ class RandomRotate(Preprocess):
 # photometric image transforms (PIL -> normalized HWC float32)
 # ---------------------------------------------------------------------------
 
-def _normalize_hwc(image: PIL.Image.Image) -> np.ndarray:
-    arr = np.asarray(image, dtype=np.float32) / 255.0
-    mean = np.asarray(constants.IMAGENET_MEAN, np.float32)
-    std = np.asarray(constants.IMAGENET_STD, np.float32)
-    return (arr - mean) / std
+def _normalize_hwc(image) -> np.ndarray:
+    # accepts a PIL image or a uint8 HWC array
+    # in-place on a fresh f32 copy (np.array always copies, so a caller
+    # passing an f32 array is never mutated) — same op sequence as
+    # ((arr/255) - mean) / std, so bit-identical results, but no
+    # intermediate full-image temporaries (this runs per train image on
+    # the host; it was 26% of the input-pipeline item time before)
+    arr = np.array(image, dtype=np.float32)
+    arr /= 255.0
+    arr -= np.asarray(constants.IMAGENET_MEAN, np.float32)
+    arr /= np.asarray(constants.IMAGENET_STD, np.float32)
+    return arr
 
 
 def image_transform(
@@ -430,27 +437,92 @@ def image_transform(
     return _normalize_hwc(image)
 
 
-def _color_jitter(image, rng, strength=0.1):
-    ops = [
-        ("brightness", PIL.ImageEnhance.Brightness),
-        ("contrast", PIL.ImageEnhance.Contrast),
-        ("saturation", PIL.ImageEnhance.Color),
-        ("hue", None),
-    ]
+#: PIL convert("L") fixed-point ITU-R 601-2 coefficients
+#: (L = (19595 R + 38470 G + 7471 B + 0x8000) >> 16) — bit-exact.
+_L_COEF = np.asarray([19595, 38470, 7471], np.uint32)
+
+
+def _gray_u8(arr: np.ndarray) -> np.ndarray:
+    """uint8 HWC RGB -> uint8 HW, bit-exact PIL ``convert("L")``."""
+    return (
+        (arr.astype(np.uint32) @ _L_COEF + 0x8000) >> 16
+    ).astype(np.uint8)
+
+
+def _finish_blend_u8(t: np.ndarray) -> np.ndarray:
+    """Clip to [0, 255] and truncate — Pillow Blend.c's epilogue."""
+    np.clip(t, 0.0, 255.0, out=t)
+    return t.astype(np.uint8)
+
+
+def _jitter_op(arr: np.ndarray, name: str, value: float) -> np.ndarray:
+    """Apply one jitter op to a uint8 HWC RGB array.
+
+    ``brightness``/``contrast``/``saturation`` (value = enhance factor)
+    are BIT-IDENTICAL to ``PIL.ImageEnhance.{Brightness,Contrast,
+    Color}(im).enhance(value)``: each enhance op is ``Image.blend``
+    against a degenerate image, and we replicate Pillow exactly —
+    fixed-point ``convert("L")`` via :func:`_gray_u8`, ImageStat's
+    rounded-half-up mean, and Blend.c's float32
+    ``deg + alpha*(img - deg)`` (that operand order, so the roundings
+    match) followed by clip-then-truncate. Pinned per-op against PIL in
+    tests/test_data_pipeline.py.
+
+    ``hue`` (value = shift in [-0.5, 0.5]) runs through cv2's SIMD
+    ``RGB2HSV_FULL`` round-trip instead of PIL's scalar converter —
+    the same uint8 full-range HSV shift by ``int(value*255)``, ~9x
+    faster, within ~1 unit mean of PIL's quantization (irrelevant next
+    to the random +-25-unit hue shift itself; tolerance-pinned in the
+    same test file).
+    """
+    if name == "hue":
+        import cv2
+
+        hsv = cv2.cvtColor(arr, cv2.COLOR_RGB2HSV_FULL)
+        hsv[..., 0] = (
+            hsv[..., 0].astype(np.int16) + int(value * 255)
+        ) % 256
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB_FULL)
+    factor = np.float32(value)
+    if name == "brightness":
+        # degenerate = black: t = 0 + f*(arr - 0)
+        t = np.multiply(arr, factor, dtype=np.float32)
+    elif name == "contrast":
+        # degenerate = constant rounded-half-up mean of the L image
+        mean = np.int16(int(_gray_u8(arr).mean() + 0.5))
+        t = np.multiply(
+            arr.astype(np.int16) - mean, factor, dtype=np.float32
+        )
+        t += np.float32(mean)
+    else:  # saturation: degenerate = replicated L image
+        gray = _gray_u8(arr)
+        t = np.multiply(
+            arr.astype(np.int16) - gray[:, :, None],
+            factor,
+            dtype=np.float32,
+        )
+        t += gray[:, :, None]
+    return _finish_blend_u8(t)
+
+
+def _color_jitter(arr: np.ndarray, rng, strength=0.1) -> np.ndarray:
+    """torchvision ColorJitter(0.1 x4), PIL backend semantics, on a
+    uint8 HWC array: the four ops of :func:`_jitter_op` in a random
+    order, factors/shift drawn uniformly from ``1 +- strength`` /
+    ``+- strength``. Same rng stream as the PIL chain it replaced
+    (permutation, then one uniform per op). The PIL chain was 52% of
+    the measured train-item time, most of it hue's two scalar HSV
+    converts (docs/PERF.md)."""
+    ops = ["brightness", "contrast", "saturation", "hue"]
     order = rng.permutation(len(ops))
     for i in order:
-        name, enhancer = ops[i]
+        name = ops[i]
         if name == "hue":
-            shift = rng.uniform(-strength, strength)
-            hsv = np.asarray(image.convert("HSV"), dtype=np.int16)
-            hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
-            image = PIL.Image.fromarray(
-                hsv.astype(np.uint8), "HSV"
-            ).convert("RGB")
+            value = rng.uniform(-strength, strength)
         else:
-            factor = rng.uniform(1 - strength, 1 + strength)
-            image = enhancer(image).enhance(factor)
-    return image
+            value = rng.uniform(1 - strength, 1 + strength)
+        arr = _jitter_op(arr, name, value)
+    return arr
 
 
 def _jpeg_compression(image, quality=50):
@@ -518,12 +590,13 @@ def image_transform_train(
     compression p=0.1 + grayscale p=0.01 + normalize
     (reference transforms.py:90-107)."""
     rng = rng or np.random.default_rng()
-    image = _color_jitter(image, rng)
+    arr = _color_jitter(np.asarray(image), rng)
     if rng.random() < 0.1:
-        image = _jpeg_compression(image)
+        arr = np.asarray(_jpeg_compression(PIL.Image.fromarray(arr)))
     if rng.random() < 0.01:
-        image = image.convert("L").convert("RGB")
-    return _normalize_hwc(image)
+        # convert("L").convert("RGB") = replicated L channel, bit-exact
+        arr = np.repeat(_gray_u8(arr)[:, :, None], 3, axis=2)
+    return _normalize_hwc(arr)
 
 
 def TRAIN_PREPROCESS(square_size: int = 368) -> Compose:
