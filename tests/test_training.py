@@ -347,3 +347,117 @@ def test_bf16_train_step_tracks_fp32(small_model):
     assert losses["bf16"][-1] < losses["bf16"][0]
     rel = abs(losses["bf16"][0] - losses["f32"][0]) / losses["f32"][0]
     assert rel < 0.05, (losses["bf16"][0], losses["f32"][0])
+
+
+def test_zero1_matches_data_parallel(small_model):
+    """ZeRO-1 (sharded Adam moments) is a memory layout, not a numerics
+    change: N steps over the 8-device mesh must match the replicated
+    data-parallel optimizer, and the big moment leaves must actually be
+    sharded (each device holds 1/8th)."""
+    from torch_ekpose_tpu.parallel import (
+        place_tree, zero1_sharding_tree,
+    )
+
+    model, variables = small_model
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    images = rng.normal(0, 1, (8, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((8, 2, 18, 3), dtype=np.float32)
+    kpts[:, 0, :, 0] = rng.uniform(10, 54, (8, 18))
+    kpts[:, 0, :, 1] = rng.uniform(10, 54, (8, 18))
+    kpts[:, 0, :, 2] = 2
+    batch = shard_batch(mesh, (images, kpts))
+
+    def run(zero1):
+        tx = make_optimizer(1e-3, 5e-4)
+        state = create_train_state(model, variables, tx)
+        shardings = jax.tree.map(lambda _: replicated(mesh), state)
+        opt_sharding = None
+        if zero1:
+            opt_sharding = zero1_sharding_tree(mesh, state.opt_state)
+            shardings = shardings.replace(opt_state=opt_sharding)
+        state = place_tree(mesh, state, shardings)
+        step = make_train_step(
+            model, targets="device", grid=GRID, opt_sharding=opt_sharding
+        )
+        for _ in range(3):
+            state, logs = step(state, *batch)
+        return state, float(logs["Loss"])
+
+    state_dp, loss_dp = run(zero1=False)
+    state_z1, loss_z1 = run(zero1=True)
+
+    np.testing.assert_allclose(loss_z1, loss_dp, rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, state_dp.params)),
+        jax.tree.leaves(jax.tree.map(np.asarray, state_z1.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    # the moments really are distributed: a conv-kernel moment leaf has
+    # a mesh axis in its sharding spec and 1/8-sized addressable shards
+    sharded = [
+        leaf for leaf in jax.tree.leaves(state_z1.opt_state)
+        if hasattr(leaf, "sharding")
+        and any(s is not None for s in getattr(
+            leaf.sharding, "spec", ()))
+    ]
+    assert sharded, "no optimizer leaf is sharded"
+    big = max(sharded, key=lambda leaf: leaf.size)
+    shard_shape = big.addressable_shards[0].data.shape
+    assert np.prod(shard_shape) == big.size // 8, (big.shape, shard_shape)
+    # dp replicates every moment leaf by contrast
+    assert all(
+        not any(s is not None for s in getattr(leaf.sharding, "spec", ()))
+        for leaf in jax.tree.leaves(state_dp.opt_state)
+        if hasattr(leaf, "sharding")
+    )
+
+
+def test_zero1_trainer_checkpoint_roundtrip(tmp_path, small_model):
+    """A --zero1 trainer saves a FULL (gathered) optimizer state that a
+    plain dp trainer can restore, and vice versa — the checkpoint format
+    is sharding-agnostic."""
+    from torch_ekpose_tpu.training import Trainer
+
+    cfg = Config()
+    cfg.TRAIN.square_size = S
+    cfg.TRAIN.lr = 1e-4
+    cfg.TRAIN.seed = 0
+
+    rng = np.random.default_rng(2)
+    images = rng.normal(0, 1, (4, S, S, 3)).astype(np.float32)
+    kpts = np.zeros((4, 2, 18, 3), dtype=np.float32)
+    batches = [(images[:2], kpts[:2]), (images[2:], kpts[2:])]
+
+    tr_z1 = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path),
+        log_dir=str(tmp_path), targets="device", num_devices=2,
+        zero1=True,
+    )
+    tr_z1.fit(batches, batches, epochs=1, save_epoch=1, verbose=False)
+
+    tr_dp = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path),
+        log_dir=str(tmp_path), targets="device", num_devices=2,
+    )
+    tr_dp.restore(str(tmp_path / "epoch_0.ckpt"))
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, tr_z1.state.opt_state)),
+        jax.tree.leaves(jax.tree.map(np.asarray, tr_dp.state.opt_state)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    # and back: a zero1 trainer restores the dp-written layout too
+    tr_dp.save(str(tmp_path / "dp.ckpt"))
+    tr_z1b = Trainer(
+        "vgg2016", config=cfg, out_dir=str(tmp_path),
+        log_dir=str(tmp_path), targets="device", num_devices=2,
+        zero1=True,
+    )
+    tr_z1b.restore(str(tmp_path / "dp.ckpt"))
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, tr_z1b.state.params)),
+        jax.tree.leaves(jax.tree.map(np.asarray, tr_dp.state.params)),
+    ):
+        np.testing.assert_array_equal(a, b)

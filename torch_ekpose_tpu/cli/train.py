@@ -62,6 +62,10 @@ def main(argv=None) -> None:
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="micro-batches per optimizer step (fits the "
                         "reference's batch-128 recipe on few chips)")
+    parser.add_argument("--zero1", action="store_true",
+                        help="shard Adam moments across the mesh "
+                        "(ZeRO-1): cuts optimizer HBM by the device "
+                        "count, identical numerics")
     parser.add_argument("--targets", type=str, default="device",
                         choices=["device", "host"])
     parser.add_argument("--dtype", type=str, default="float32",
@@ -283,6 +287,7 @@ def main(argv=None) -> None:
             log_dir=log_dir, targets=args.targets,
             num_devices=args.num_devices, freeze_backbone=True,
             compute_dtype=compute_dtype, grad_accum=args.grad_accum,
+            zero1=args.zero1,
         )
         warmup.fit(
             train_loader, val_loader, epochs=args.warmup_epochs,
@@ -299,7 +304,7 @@ def main(argv=None) -> None:
         args.model, config=cfg, variables=variables,
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
         num_devices=args.num_devices, compute_dtype=compute_dtype,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, zero1=args.zero1,
     )
     if resume_preempt:
         # A preemption checkpoint from a killed run: pick up where it

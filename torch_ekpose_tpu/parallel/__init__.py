@@ -3,8 +3,10 @@ from torch_ekpose_tpu.parallel.mesh import (
     make_mesh,
     init_distributed,
     place_replicated,
+    place_tree,
     replicated,
     shard_batch,
+    zero1_sharding_tree,
 )
 
 __all__ = [
@@ -14,8 +16,10 @@ __all__ = [
     "make_mesh",
     "init_distributed",
     "place_replicated",
+    "place_tree",
     "replicated",
     "shard_batch",
+    "zero1_sharding_tree",
 ]
 
 

@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "init_distributed", "make_mesh", "data_sharding", "replicated",
-    "place_replicated", "shard_batch", "infer_compute_dtype",
+    "place_replicated", "place_tree", "shard_batch",
+    "zero1_sharding_tree", "infer_compute_dtype",
 ]
 
 DATA_AXIS = "data"
@@ -110,6 +111,62 @@ def place_replicated(mesh: Mesh, tree):
 
         return jax.tree.map(put, tree)
     return jax.device_put(tree, sharding)
+
+
+def zero1_sharding_tree(mesh: Mesh, tree):
+    """ZeRO-1 shardings for an optimizer-state pytree.
+
+    Adam's moments mirror the parameter tree — for VGG19 that is 2 x
+    ~200M float32, 1.6 GB of HBM that plain data parallelism replicates
+    onto every chip. Sharding each moment leaf across the ``data`` axis
+    turns the optimizer update into the classic ZeRO-1 schedule —
+    GSPMD lowers it to reduce-scatter(grads) + sharded Adam +
+    all-gather(updates), the same wire bytes as the all-reduce it
+    replaces — and cuts optimizer HBM by the mesh size. (The reference
+    has no equivalent; ``nn.DataParallel`` keeps one full optimizer on
+    the root GPU.)
+
+    Each array leaf is sharded on its largest dimension that divides
+    evenly by the mesh size; leaves with no such dimension (step
+    counters, hyperparams, tiny biases) replicate — for conv nets
+    those are a rounding error next to the kernels.
+    """
+    n = mesh.size
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        best = None
+        for i, d in enumerate(shape):
+            if d % n == 0 and d > 0 and (best is None or d > shape[best]):
+                best = i
+        if best is None:
+            return replicated(mesh)
+        spec = [None] * len(shape)
+        spec[best] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(leaf, tree)
+
+
+def place_tree(mesh: Mesh, tree, shardings):
+    """Place a pytree of host arrays with per-leaf shardings.
+
+    Generalizes :func:`place_replicated` to mixed sharding trees (e.g.
+    replicated params + ZeRO-1-sharded optimizer state). Multi-process:
+    every process holds an identical full host copy (a seeded init or a
+    restored checkpoint) and each leaf is assembled from the locally
+    addressable shards via ``make_array_from_callback``.
+    """
+    if jax.process_count() > 1:
+
+        def put(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, s, lambda idx: x[idx]
+            )
+
+        return jax.tree.map(put, tree, shardings)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
 
 
 def shard_batch(mesh: Mesh, batch):

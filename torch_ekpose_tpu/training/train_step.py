@@ -124,6 +124,7 @@ def make_train_step(
     stride: int = constants.DOWNSAMPLE,
     sigma: float = constants.TARGET_SIGMA,
     grad_accum: int = 1,
+    opt_sharding=None,
 ):
     """Build the jitted train step.
 
@@ -135,9 +136,21 @@ def make_train_step(
     — how the reference's batch-128 recipe (train.py:106, 4 GPUs) fits a
     small chip count; loss/gradient math is identical because the
     reference's loss is a per-sample mean (train.py:311-339).
+    ``opt_sharding``: a pytree of shardings matching ``state.opt_state``
+    (:func:`~torch_ekpose_tpu.parallel.mesh.zero1_sharding_tree`). The
+    updated optimizer state is pinned to it, which keeps XLA's sharding
+    propagation from "helpfully" all-gathering the moments back to
+    replicated and losing ZeRO-1's memory win.
     """
     if targets == "device" and grid is None:
         raise ValueError("targets='device' requires grid=(gy, gx)")
+
+    def constrain(state):
+        if opt_sharding is None:
+            return state
+        return state.replace(opt_state=jax.tree.map(
+            jax.lax.with_sharding_constraint, state.opt_state, opt_sharding
+        ))
 
     def loss_fn(params, batch_stats, images, heat_t, paf_t):
         variables = {"params": params}
@@ -160,7 +173,9 @@ def make_train_step(
         (loss, (logs, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, images, heat_t, paf_t)
-        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        new_state = constrain(
+            state.apply_gradients(grads, new_batch_stats=new_stats)
+        )
         logs["Loss"] = loss
         return new_state, logs
 
@@ -188,7 +203,9 @@ def make_train_step(
             body, init, (split(images), split(heat_t), split(paf_t))
         )
         grads = jax.tree.map(lambda g: g / n, grad_sum)
-        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        new_state = constrain(
+            state.apply_gradients(grads, new_batch_stats=new_stats)
+        )
         # reduce the stacked per-micro-batch series like the reference's
         # per-iteration logs would: sums add, extrema take max/min
         logs = {}

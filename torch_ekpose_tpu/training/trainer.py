@@ -21,8 +21,10 @@ from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.models import get_model, init_model
 from torch_ekpose_tpu.parallel import (
     make_mesh,
-    place_replicated,
+    place_tree,
+    replicated,
     shard_batch,
+    zero1_sharding_tree,
 )
 from torch_ekpose_tpu.training.metrics import (
     AverageMeter,
@@ -67,6 +69,7 @@ class Trainer:
         freeze_backbone: bool = False,
         compute_dtype=None,
         grad_accum: int = 1,
+        zero1: bool = False,
     ):
         self.config = config or default_cfg
         tc = self.config.TRAIN
@@ -89,11 +92,24 @@ class Trainer:
             tc.lr, tc.weight_decay, freeze_backbone=freeze_backbone
         )
         state = create_train_state(self.model, variables, tx)
-        self.state = place_replicated(self.mesh, state)
+        # params/stats replicate; with --zero1 the optimizer moments
+        # shard across the data axis (ZeRO-1: reduce-scatter grads,
+        # sharded Adam, all-gather updates — mesh.zero1_sharding_tree)
+        self._state_shardings = jax.tree.map(
+            lambda _: replicated(self.mesh), state
+        )
+        if zero1:
+            self._state_shardings = self._state_shardings.replace(
+                opt_state=zero1_sharding_tree(self.mesh, state.opt_state)
+            )
+        self.state = place_tree(self.mesh, state, self._state_shardings)
 
         grid = (tc.square_size // 8, tc.square_size // 8)
         self.train_step = make_train_step(
-            self.model, targets=targets, grid=grid, grad_accum=grad_accum
+            self.model, targets=targets, grid=grid, grad_accum=grad_accum,
+            opt_sharding=(
+                self._state_shardings.opt_state if zero1 else None
+            ),
         )
         self.eval_step = make_eval_step(
             self.model, targets=targets, grid=grid
@@ -317,20 +333,37 @@ class Trainer:
 
     # -- checkpointing (full resume state) -------------------------------
 
+    def _full_host(self, tree):
+        """Full host copy of a state subtree. ZeRO-1 moments in a
+        multi-host run live partly on non-addressable devices, so they
+        are re-gathered to replicated first — a collective, which is
+        why save() computes its payload on EVERY process before the
+        main-process check."""
+        leaves = jax.tree.leaves(tree)
+        if self._n_processes > 1 and any(
+            not getattr(leaf, "is_fully_addressable", True)
+            for leaf in leaves
+        ):
+            tree = jax.jit(
+                lambda t: t, out_shardings=replicated(self.mesh)
+            )(tree)
+        return jax.device_get(tree)
+
     def save(self, path: str, resume_epoch: Optional[int] = None) -> None:
+        host = {
+            "params": self._full_host(self.state.params),
+            "batch_stats": self._full_host(self.state.batch_stats),
+            "opt_state": self._full_host(self.state.opt_state),
+        }
         if not self.is_main_process:
             return
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         payload = {
-            "params": serialization.to_state_dict(
-                jax.device_get(self.state.params)
-            ),
+            "params": serialization.to_state_dict(host["params"]),
             "batch_stats": serialization.to_state_dict(
-                jax.device_get(self.state.batch_stats)
+                host["batch_stats"]
             ),
-            "opt_state": serialization.to_state_dict(
-                jax.device_get(self.state.opt_state)
-            ),
+            "opt_state": serialization.to_state_dict(host["opt_state"]),
             "step": int(self.state.step),
             "epoch": (
                 resume_epoch if resume_epoch is not None else self.epoch + 1
@@ -349,18 +382,21 @@ class Trainer:
             payload = serialization.msgpack_restore(f.read())
         self.state = self.state.replace(
             params=serialization.from_state_dict(
-                jax.device_get(self.state.params), payload["params"]
+                self._full_host(self.state.params), payload["params"]
             ),
             batch_stats=serialization.from_state_dict(
-                jax.device_get(self.state.batch_stats),
+                self._full_host(self.state.batch_stats),
                 payload["batch_stats"],
             ),
             opt_state=serialization.from_state_dict(
-                jax.device_get(self.state.opt_state), payload["opt_state"]
+                self._full_host(self.state.opt_state),
+                payload["opt_state"],
             ),
             step=payload["step"],
         )
-        self.state = place_replicated(self.mesh, self.state)
+        self.state = place_tree(
+            self.mesh, self.state, self._state_shardings
+        )
         self.epoch = int(payload["epoch"])
         self.best_val = float(payload["best_val"])
         self.scheduler.load_state_dict(payload["scheduler"])
