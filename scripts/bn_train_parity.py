@@ -1,0 +1,321 @@
+"""BatchNorm-family lockstep training parity (mobilenet_thin).
+
+TRAIN_CURVE_PARITY covered vgg2016 — a BN-free model. Three of the four
+reference backbones train THROUGH BatchNorm (reference
+lib/network/mobilenet.py:6-33, mobilenetV2.py:13-76, shufflenetV2.py via
+``nn.BatchNorm2d``), where torch's semantics have two traps flax's
+``nn.BatchNorm`` does not replicate: the running variance accumulates the
+UNBIASED batch variance (Bessel n/(n-1)), and train/eval mode switch which
+statistics normalize. This script proves our
+``models.layers.TorchBatchNorm`` matches the executed reference end to
+end, on ``mobilenet_thin`` (the reference ``OpenPose`` defaults,
+conv_width 0.75 / conv_width2 0.50 — reference
+lib/network/networks.py:28-33):
+
+1. **semantics** — 5 lockstep steps from an identical converted init on
+   byte-identical batches: per-step losses agree to <1e-3 rel, every BN
+   layer's running_mean/running_var agrees with torch's to <1e-3 rel,
+   and eval-mode forwards on a held-out input agree after the steps
+   (train->eval switching).
+2. **curve** — N total lockstep steps (default 300): loss-EMA agreement.
+3. **trained eval** — OUR trained weights (params + the BN batch_stats
+   our stack accumulated) export to a reference-format ``.pth``; the
+   reference's own ``eval.py::run_eval`` (executed verbatim, SWIG
+   decode) and our ``evaluate.run_eval`` both score them on a rendered
+   val set; APs must agree within 0.005.
+
+Writes BN_TRAIN_PARITY.json. Usage:
+    python scripts/bn_train_parity.py [--steps 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import types
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+import refstack  # noqa: E402
+from trained_parity import (  # noqa: E402
+    SCALE_RANGE, detection_agreement, make_batch, run_reference_eval,
+)
+
+VARIANT = "mobilenet_thin"
+
+
+def our_bn_stats(batch_stats):
+    """Flatten our batch_stats tree to {path: (mean, var)}."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(batch_stats)[0]
+    by_layer = {}
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        layer, stat = "/".join(keys[:-1]), keys[-1]
+        by_layer.setdefault(layer, {})[stat] = np.asarray(leaf)
+    return {k: (v["mean"], v["var"]) for k, v in by_layer.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--semantics-steps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight-decay", type=float, default=5e-4)
+    ap.add_argument("--train-size", type=int, default=128)
+    ap.add_argument("--val-images", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default="/tmp/bnparity")
+    ap.add_argument("--out", default="BN_TRAIN_PARITY.json")
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    # ---- reference stack (executed) ---------------------------------------
+    tmp = tempfile.mkdtemp(prefix="refpaf_")
+    pafprocess = refstack.build_reference_pafprocess(tmp)
+    ref_estimator, ref_vgg2016, _ = refstack.import_reference_modules(
+        pafprocess
+    )
+    ref_train = refstack.import_reference_train()
+    ref_eval = refstack.import_reference_eval()
+    sys.path.insert(0, refstack.REFERENCE)
+    from lib.datasets import preprocessing as ref_preprocessing
+    from lib.network import mobilenet as ref_mobilenet
+    sys.path.remove(refstack.REFERENCE)
+
+    torch.manual_seed(0)
+    ref_model = ref_mobilenet.OpenPose(
+        conv_width=0.75, conv_width2=0.50
+    ).float().train()
+    state0 = {k: v.detach().numpy().copy()
+              for k, v in ref_model.state_dict().items()}
+    ref_opt = torch.optim.Adam(
+        ref_model.parameters(), lr=args.lr, betas=(0.9, 0.999),
+        weight_decay=args.weight_decay,
+    )
+    loss_args = types.SimpleNamespace(batch_size=args.batch)
+
+    # ---- our stack, identical init ----------------------------------------
+    from torch_ekpose_tpu.models import get_model
+    from torch_ekpose_tpu.runtime import (
+        convert_torch_checkpoint,
+        export_torch_checkpoint,
+    )
+    from torch_ekpose_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    variables = convert_torch_checkpoint(state0, VARIANT)
+    model = get_model(VARIANT, dtype=jnp.float32)
+    state = create_train_state(
+        model, variables, make_optimizer(args.lr, args.weight_decay)
+    )
+    step_fn = make_train_step(model, targets="host")
+
+    # ---- lockstep ----------------------------------------------------------
+    rng = np.random.default_rng(args.seed)
+    held_out = make_batch(rng, ref_preprocessing, args.batch,
+                          args.train_size)[0]
+    curve_ref, curve_ours = [], []
+    semantics = None
+    t0 = time.time()
+    for s in range(1, args.steps + 1):
+        ims, heats, pafs = make_batch(
+            rng, ref_preprocessing, args.batch, args.train_size
+        )
+        _, saved_for_loss = ref_model(torch.from_numpy(ims))
+        total_loss, _ = ref_train.get_loss(
+            saved_for_loss, torch.from_numpy(heats),
+            torch.from_numpy(pafs), loss_args,
+        )
+        ref_opt.zero_grad()
+        total_loss.backward()
+        ref_opt.step()
+        lr_ = float(total_loss.detach())
+
+        state, logs = step_fn(
+            state,
+            jnp.asarray(ims.transpose(0, 2, 3, 1)),
+            jnp.asarray(heats.transpose(0, 2, 3, 1)),
+            jnp.asarray(pafs.transpose(0, 2, 3, 1)),
+        )
+        lo = float(logs["Loss"])
+        curve_ref.append(lr_)
+        curve_ours.append(lo)
+        if s % 25 == 0 or s <= 3:
+            print(f"step {s}/{args.steps}  ref {lr_:.2f}  ours {lo:.2f}  "
+                  f"rel {abs(lr_ - lo) / lr_:.2e}  {time.time() - t0:.0f}s",
+                  flush=True)
+
+        if s == args.semantics_steps:
+            # --- phase 1 gates: batch_stats + eval-mode forward ----------
+            # route torch's CURRENT running stats through the checkpoint
+            # converter: both sides land in our tree layout, so the
+            # comparison is exact per layer (no name-matching heuristics)
+            t_now = {k: v.detach().numpy().copy()
+                     for k, v in ref_model.state_dict().items()}
+            tstats = our_bn_stats(
+                convert_torch_checkpoint(t_now, VARIANT)["batch_stats"])
+            ostats = our_bn_stats(jax.device_get(state.batch_stats))
+            assert set(tstats) == set(ostats)
+            mean_rel = max(
+                float(np.max(np.abs(tstats[k][0] - ostats[k][0])
+                             / (np.abs(tstats[k][0]) + 1e-6)))
+                for k in tstats)
+            var_rel = max(
+                float(np.max(np.abs(tstats[k][1] - ostats[k][1])
+                             / (np.abs(tstats[k][1]) + 1e-6)))
+                for k in tstats)
+
+            ref_model.eval()
+            with torch.no_grad():
+                (paf_t, heat_t), _ = ref_model(torch.from_numpy(held_out))
+            ref_model.train()
+            ours_eval = model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                jnp.asarray(held_out.transpose(0, 2, 3, 1)), train=False,
+            )
+            paf_o, heat_o = ours_eval[0], ours_eval[1]
+            paf_diff = float(np.max(np.abs(
+                paf_t.numpy().transpose(0, 2, 3, 1) - np.asarray(paf_o))))
+            heat_diff = float(np.max(np.abs(
+                heat_t.numpy().transpose(0, 2, 3, 1) - np.asarray(heat_o))))
+            losses_rel = [abs(a - b) / a for a, b in
+                          zip(curve_ref, curve_ours)]
+            semantics = {
+                "steps": args.semantics_steps,
+                "bn_layers": len(tstats),
+                "loss_max_rel": float(max(losses_rel)),
+                "running_mean_max_rel": mean_rel,
+                "running_var_max_rel": var_rel,
+                "eval_forward_paf_max_abs": paf_diff,
+                "eval_forward_heat_max_abs": heat_diff,
+                "gate_pass": bool(
+                    max(losses_rel) < 1e-3 and mean_rel < 1e-3
+                    and var_rel < 1e-3 and paf_diff < 1e-4
+                    and heat_diff < 1e-4
+                ),
+            }
+            print("semantics:", json.dumps(semantics), flush=True)
+
+    curve_ref = np.asarray(curve_ref)
+    curve_ours = np.asarray(curve_ours)
+
+    def _ema(c):
+        v = c[0]
+        for x in c[1:]:
+            v = 0.95 * v + 0.05 * x
+        return float(v)
+
+    # ---- phase 3: our BN-trained weights through BOTH eval loops ----------
+    from torch_ekpose_tpu.data.coco import COCO
+    from torch_ekpose_tpu.data.synthetic_coco import write_coco_dataset
+    from torch_ekpose_tpu.evaluate import evaluator
+    from torch_ekpose_tpu.runtime.estimator import PoseEstimator
+
+    image_dir, anno_file = write_coco_dataset(
+        args.workdir, args.val_images, mode="val", seed=5555,
+        max_people=3, sizes=[(368, 368), (368, 496)],
+        post_resize_band=(0.40, 0.60),
+    )
+    our_vars = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    est = PoseEstimator(VARIANT, variables=our_vars,
+                        compute_dtype=jnp.float32)
+    ours_json = os.path.join(args.workdir, "results_ours.json")
+    ap_ours = evaluator.run_eval(
+        image_dir, anno_file, est, results_json=ours_json, progress=False
+    )
+    with open(ours_json) as f:
+        our_rows = json.load(f)
+
+    ours_pth = os.path.join(args.workdir, "trained_ours_mobilenet.pth")
+    export_torch_checkpoint(our_vars, VARIANT, path=ours_pth,
+                            template=state0)
+    ref_mobilenet_loader = types.SimpleNamespace(
+        OpenPose=lambda: ref_mobilenet.OpenPose(conv_width=0.75,
+                                                conv_width2=0.50)
+    )
+    ref_rows = run_reference_eval(
+        ref_eval, ref_estimator, ref_mobilenet_loader, ours_pth,
+        image_dir, anno_file, args.workdir,
+    )
+    img_ids = COCO(anno_file).getImgIds()
+    ap_ref = evaluator.eval_coco(ref_rows, anno_file, img_ids)
+    agree = detection_agreement(our_rows, ref_rows, img_ids)
+    ap_delta = abs(ap_ours - ap_ref)
+
+    result = {
+        "variant": VARIANT,
+        "steps": args.steps,
+        "recipe": "identical init (torch seed 0, converted), identical "
+                  "per-step batches, Adam "
+                  f"{args.lr}/wd {args.weight_decay}; torch CPU vs ours "
+                  f"on {jax.default_backend()}",
+        "semantics": semantics,
+        "curve": {
+            "first_step_rel_diff": float(
+                abs(curve_ref[0] - curve_ours[0]) / curve_ref[0]),
+            "final_ema_ref": round(_ema(curve_ref), 1),
+            "final_ema_ours": round(_ema(curve_ours), 1),
+            "final_ema_rel_diff": round(
+                abs(_ema(curve_ref) - _ema(curve_ours))
+                / _ema(curve_ref), 4),
+            "every_25": [
+                {"step": i + 1, "ref": round(float(curve_ref[i]), 1),
+                 "ours": round(float(curve_ours[i]), 1)}
+                for i in range(0, args.steps, 25)
+            ],
+        },
+        "trained_eval": {
+            "val_images": args.val_images,
+            "ap_ours_our_loop": round(float(ap_ours), 4),
+            "ap_ours_reference_loop": round(float(ap_ref), 4),
+            "abs_delta": round(float(ap_delta), 4),
+            "detections": [len(our_rows), len(ref_rows)],
+            "detection_agreement": agree,
+            "note": "OUR BN-trained weights (params + accumulated "
+                    "batch_stats) exported to a reference .pth; scored "
+                    "by the reference's executed eval.py loop vs ours",
+        },
+        "gate": "semantics gates AND final_ema_rel_diff <= 0.02 AND "
+                "eval-loop abs_delta <= 0.005",
+        "gate_pass": bool(
+            semantics and semantics["gate_pass"]
+            and abs(_ema(curve_ref) - _ema(curve_ours)) / _ema(curve_ref)
+            <= 0.02
+            and ap_delta <= 0.005
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(json.dumps(result, indent=2))
+    if not result["gate_pass"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

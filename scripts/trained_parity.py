@@ -1,11 +1,23 @@
-"""End-task cross-stack proof with TRAINED weights.
+"""End-task cross-stack proof with TRAINED weights, across regimes.
 
 Trains the reference's own ``OpenPose()`` (torch CPU, reference
 ``get_loss``/Adam hyperparameters — /root/reference/train.py:145-149,
 311-339) on rendered synthetic scenes
 (``torch_ekpose_tpu.data.synthetic_coco``), saves a real ``.pth``,
 converts it with ``runtime.convert_torch_checkpoint``, and then runs BOTH
-stacks' complete eval loops over a held-out COCO-format val set:
+stacks' complete eval loops over held-out COCO-format val sets covering
+the regimes where the protocol actually sweats:
+
+- ``square``     — 368x368, 1-3 people (the happy path);
+- ``nonsquare``  — mixed portrait/landscape/odd canvases exercising
+  several pad-to-x8 buckets of ``padding``
+  (reference lib/evaluate/estimator.py:52-68);
+- ``crowded``    — 6-9 people per image (assembler-order and
+  capacity pressure);
+- ``multiscale`` — mixed canvas sizes and wide within-image people-scale
+  variation.
+
+Per regime:
 
 - reference: its ``eval.py::run_eval`` executed verbatim — padding,
   ``get_outputs``, SWIG ``paf_to_pose_cpp``, ``append_result``
@@ -17,8 +29,9 @@ stacks' complete eval loops over a held-out COCO-format val set:
 
 Both detection sets are scored by our OKS evaluator
 (``evaluate.cocoeval.COCOKeypointEval``) against the same annotations.
-Gate: |AP(ours) - AP(reference)| <= 0.005 (0.5 AP on the 0-100 scale,
-BASELINE.md's "within 0.5 AP") with weights that detect real skeletons.
+Gates, per regime: |AP(ours) - AP(reference)| <= 0.005 (0.5 AP on the
+0-100 scale, BASELINE.md's "within 0.5 AP"), per-image detection-count
+agreement >= 0.9, and nonzero detections from both stacks.
 
 Writes TRAINED_PARITY.json. Usage:
     python scripts/trained_parity.py [--steps 400] [--skip-train]
@@ -45,9 +58,82 @@ import numpy as np  # noqa: E402
 
 import refstack  # noqa: E402
 
-# people rendered at the same absolute pixel scale in train and val
-# (the eval path's max-side-368 resize is identity on the 368px canvas)
-SCALE_RANGE = (0.4, 0.6)
+# training people-scale band (on the 160px train canvas). Every val
+# regime renders people so their POST-eval-resize scale lands inside
+# this band (synthetic_coco.write_coco_dataset post_resize_band), so
+# one checkpoint covers square, nonsquare, crowded, and multiscale.
+SCALE_RANGE = (0.30, 0.65)
+
+#: Held-out val regimes. ``sizes`` are (h, w) canvases cycled per image;
+#: ``band`` is the POST-resize people-scale band (people height =
+#: 200px * scale after the protocol's max-side-368 resize).
+REGIMES = {
+    "square": dict(
+        n=30, sizes=[(368, 368)], people=(1, 3), band=(0.40, 0.60),
+        seed=7777,
+    ),
+    "nonsquare": dict(
+        n=28,
+        sizes=[(368, 496), (496, 368), (296, 520), (520, 296),
+               (300, 444), (444, 300), (368, 400)],
+        people=(1, 3), band=(0.40, 0.58), seed=8888,
+    ),
+    "crowded": dict(
+        n=16, sizes=[(368, 368)], people=(6, 9), band=(0.32, 0.46),
+        seed=9999,
+    ),
+    "multiscale": dict(
+        n=20, sizes=[(368, 368), (416, 416), (512, 512)], people=(2, 4),
+        band=(0.33, 0.60), seed=4444,
+    ),
+}
+
+
+def detection_agreement(rows_a, rows_b, img_ids):
+    """Per-image cross-stack agreement between two result-row lists:
+    fraction of images where both stacks report the SAME number of
+    people, plus the mean keypoint distance (px) between greedily
+    matched detections on those images."""
+    by_img_a, by_img_b = {}, {}
+    for r in rows_a:
+        by_img_a.setdefault(r["image_id"], []).append(r)
+    for r in rows_b:
+        by_img_b.setdefault(r["image_id"], []).append(r)
+
+    def kp(row):
+        return np.asarray(row["keypoints"], dtype=np.float64).reshape(17, 3)
+
+    equal, dists = 0, []
+    for iid in img_ids:
+        A = [kp(r) for r in by_img_a.get(iid, [])]
+        B = [kp(r) for r in by_img_b.get(iid, [])]
+        if len(A) != len(B):
+            continue
+        equal += 1
+        unused = list(range(len(B)))
+        for a in A:
+            best, best_j = None, None
+            for j in unused:
+                b = B[j]
+                both = (a[:, 2] > 0) & (b[:, 2] > 0)
+                if not both.any():
+                    continue
+                d = float(np.linalg.norm(
+                    a[both, :2] - b[both, :2], axis=1).mean())
+                if best is None or d < best:
+                    best, best_j = d, j
+            if best_j is not None:
+                unused.remove(best_j)
+                dists.append(best)
+    return {
+        "images_equal_count": equal,
+        "images_total": len(img_ids),
+        "count_agreement": round(equal / max(len(img_ids), 1), 4),
+        "matched_mean_px": round(float(np.mean(dists)), 3) if dists
+        else None,
+        "matched_max_px": round(float(np.max(dists)), 3) if dists
+        else None,
+    }
 
 
 def make_batch(rng, ref_preprocessing, batch: int, size: int):
@@ -169,9 +255,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--weight-decay", type=float, default=5e-4)
-    ap.add_argument("--train-size", type=int, default=128)
-    ap.add_argument("--val-images", type=int, default=30)
-    ap.add_argument("--val-size", type=int, default=368)
+    ap.add_argument("--train-size", type=int, default=160)
+    ap.add_argument("--regimes", default=",".join(REGIMES),
+                    help="comma-separated subset of regimes to run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default="/tmp/synparity")
     ap.add_argument("--out", default="TRAINED_PARITY.json")
@@ -194,14 +280,6 @@ def main():
     from lib.datasets import preprocessing as ref_preprocessing
     sys.path.remove(refstack.REFERENCE)
 
-    # ---- held-out val set ------------------------------------------------
-    from torch_ekpose_tpu.data.synthetic_coco import write_coco_dataset
-
-    image_dir, anno_file = write_coco_dataset(
-        args.workdir, args.val_images, h=args.val_size, w=args.val_size,
-        mode="val", seed=7777, max_people=3, scale_range=SCALE_RANGE,
-    )
-
     # ---- train the reference model --------------------------------------
     if not (args.skip_train and os.path.isfile(ckpt_path)):
         final_loss = train_reference(
@@ -212,19 +290,12 @@ def main():
         final_loss = None
         print(f"reusing {ckpt_path}")
 
-    # ---- reference stack full eval loop ----------------------------------
-    t0 = time.time()
-    ref_rows = run_reference_eval(
-        ref_eval, ref_estimator, ref_vgg2016, ckpt_path,
-        image_dir, anno_file, args.workdir,
-    )
-    ref_eval_s = time.time() - t0
-    print(f"reference eval: {len(ref_rows)} detections, {ref_eval_s:.0f}s")
-
-    # ---- our stack full eval loop ----------------------------------------
+    # ---- converted weights, once -----------------------------------------
     import torch
 
     import jax.numpy as jnp
+    from torch_ekpose_tpu.data.coco import COCO
+    from torch_ekpose_tpu.data.synthetic_coco import write_coco_dataset
     from torch_ekpose_tpu.evaluate import evaluator
     from torch_ekpose_tpu.runtime import convert_torch_checkpoint
     from torch_ekpose_tpu.runtime.estimator import PoseEstimator
@@ -235,36 +306,74 @@ def main():
     est = PoseEstimator(
         "vgg2016", variables=variables, compute_dtype=jnp.float32
     )
-    ours_json = os.path.join(args.workdir, "results_ours.json")
-    t0 = time.time()
-    ap_ours = evaluator.run_eval(
-        image_dir, anno_file, est, results_json=ours_json, progress=False
-    )
-    our_eval_s = time.time() - t0
-    with open(ours_json) as f:
-        our_rows = json.load(f)
-    print(f"our eval: {len(our_rows)} detections, {our_eval_s:.0f}s")
 
-    # ---- score the reference's detections with the same evaluator --------
-    from torch_ekpose_tpu.data.coco import COCO
+    # ---- both stacks' full eval loops, per regime --------------------------
+    regimes_out = {}
+    all_pass = True
+    for name in args.regimes.split(","):
+        spec = REGIMES[name]
+        rdir = os.path.join(args.workdir, f"regime_{name}")
+        image_dir, anno_file = write_coco_dataset(
+            rdir, spec["n"], mode="val", seed=spec["seed"],
+            sizes=spec["sizes"], min_people=spec["people"][0],
+            max_people=spec["people"][1], post_resize_band=spec["band"],
+        )
 
-    img_ids = COCO(anno_file).getImgIds()
-    ap_ref = evaluator.eval_coco(ref_rows, anno_file, img_ids)
+        t0 = time.time()
+        ref_rows = run_reference_eval(
+            ref_eval, ref_estimator, ref_vgg2016, ckpt_path,
+            image_dir, anno_file, rdir,
+        )
+        ref_eval_s = time.time() - t0
+        ours_json = os.path.join(rdir, "results_ours.json")
+        t0 = time.time()
+        ap_ours = evaluator.run_eval(
+            image_dir, anno_file, est, results_json=ours_json,
+            progress=False,
+        )
+        our_eval_s = time.time() - t0
+        with open(ours_json) as f:
+            our_rows = json.load(f)
 
-    delta = abs(ap_ours - ap_ref)
+        img_ids = COCO(anno_file).getImgIds()
+        ap_ref = evaluator.eval_coco(ref_rows, anno_file, img_ids)
+        agree = detection_agreement(our_rows, ref_rows, img_ids)
+        delta = abs(ap_ours - ap_ref)
+        gate_pass = bool(
+            delta <= 0.005
+            and agree["count_agreement"] >= 0.9
+            and len(our_rows) > 0 and len(ref_rows) > 0
+        )
+        all_pass = all_pass and gate_pass
+        regimes_out[name] = {
+            "images": spec["n"],
+            "canvases": [f"{h}x{w}" for h, w in spec["sizes"]],
+            "people": list(spec["people"]),
+            "post_resize_scale_band": list(spec["band"]),
+            "ap_ours": round(ap_ours, 4),
+            "ap_reference": round(ap_ref, 4),
+            "abs_delta": round(delta, 4),
+            "detections_ours": len(our_rows),
+            "detections_reference": len(ref_rows),
+            "detection_agreement": agree,
+            "eval_seconds": {"reference": round(ref_eval_s, 1),
+                             "ours": round(our_eval_s, 1)},
+            "gate_pass": gate_pass,
+        }
+        print(f"[{name}] ours {ap_ours:.4f} ref {ap_ref:.4f} "
+              f"delta {delta:.4f} agree {agree['count_agreement']:.2f} "
+              f"pass={gate_pass}", flush=True)
+
     result = {
-        "ap_ours": round(ap_ours, 4),
-        "ap_reference": round(ap_ref, 4),
-        "abs_delta": round(delta, 4),
-        "gate": "abs_delta <= 0.005 (0.5 AP on the 0-100 scale)",
-        "gate_pass": bool(delta <= 0.005),
-        "detections_ours": len(our_rows),
-        "detections_reference": len(ref_rows),
-        "val_images": args.val_images,
-        "val_size": args.val_size,
+        "gate": "per regime: abs_delta <= 0.005 (0.5 AP on the 0-100 "
+                "scale) AND per-image detection-count agreement >= 0.9 "
+                "AND both stacks detect",
+        "gate_pass": all_pass,
+        "regimes": regimes_out,
         "train": {
             "steps": args.steps, "batch": args.batch, "lr": args.lr,
             "weight_decay": args.weight_decay, "size": args.train_size,
+            "scale_band": list(SCALE_RANGE),
             "final_ema_loss": final_loss and round(final_loss, 1),
             "optimizer": "reference Adam defaults (train.py:177-182)",
             "loss": "reference get_loss, executed (train.py:311-339)",
@@ -284,12 +393,8 @@ def main():
         json.dump(result, f, indent=2)
         f.write("\n")
     print(json.dumps(result, indent=2))
-    if not result["gate_pass"]:
+    if not all_pass:
         sys.exit(1)
-    if len(our_rows) == 0 or len(ref_rows) == 0:
-        print("WARNING: zero detections — weights did not learn; "
-              "raise --steps")
-        sys.exit(2)
 
 
 if __name__ == "__main__":

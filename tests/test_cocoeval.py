@@ -326,3 +326,131 @@ def test_oks_matrix_basics():
     ious = compute_oks([gt], [dt_same, dt_far])
     assert ious[0, 0] == pytest.approx(1.0)
     assert ious[1, 0] < 1e-4
+
+
+def test_crowd_maxdets_area_boundary_combined_one_image(tmp_path):
+    """All three protocol mechanisms interact in ONE image: an iscrowd
+    region absorbing 18 detections, maxDets=20 truncation cutting a
+    rank-21 junk det, and a gt sitting exactly on the medium area
+    boundary (32^2, inclusive) while the lone FP's keypoint-extent area
+    is large-only. Paper expectations:
+    - "all": kept dets sort to [18 crowd-absorbed (ignored), FP, TP];
+      precision after the TP is 1/2, the right-to-left envelope makes
+      every interpolation point 0.5 => AP(all) = 0.5, AR(all) = 1.0;
+    - "medium": the FP's area (150x100) is outside medium and it is
+      unmatched => ignored; only the TP counts => AP(medium) = 1.0;
+    - "large": no counted gts => sentinel -1."""
+    gt1 = _person_ann(1, 1, 100, 300, spread=16.0, area=float(32 ** 2))
+    crowd = {
+        "id": 2, "image_id": 1, "category_id": 1,
+        "keypoints": [0.0] * 51, "num_keypoints": 0, "iscrowd": 1,
+        "area": 3600.0, "bbox": [400.0, 50.0, 60.0, 60.0],
+    }
+    coco_gt = _gt_coco(_dataset([1], [gt1, crowd]), tmp_path)
+
+    def in_crowd(score, k):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = 405 + 3 * k + np.linspace(0, 20, 17)
+        kp[:, 1] = 55 + np.linspace(0, 20, 17)
+        kp[:, 2] = 1
+        return {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": score}
+
+    def far_fp(score):
+        # keypoint extent 150x100 = 15000 > 96^2: large-only det area
+        kp = np.zeros((17, 3))
+        kp[:, 0] = 200 + np.linspace(0, 150, 17)
+        kp[:, 1] = 380 + np.linspace(0, 100, 17)
+        kp[:, 2] = 1
+        return {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": score}
+
+    def tiny_junk(score):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = 580.0 + np.linspace(0, 2, 17)
+        kp[:, 1] = 450.0 + np.linspace(0, 2, 17)
+        kp[:, 2] = 1
+        return {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": score}
+
+    results = (
+        [in_crowd(0.7, k) for k in range(18)]
+        + [far_fp(0.65), _det_from(gt1, 0.6), tiny_junk(0.05)]
+    )
+    stats = _run_ids(coco_gt, results, [1])
+    assert stats[0] == pytest.approx(0.5)    # AP all
+    assert stats[5] == pytest.approx(1.0)    # AR all
+    assert stats[3] == pytest.approx(1.0)    # AP medium
+    assert stats[4] == pytest.approx(-1.0)   # AP large: no gts counted
+
+
+def test_all_tied_scores_maxdets_stable_truncation(tmp_path):
+    """maxDets truncation under a FULL score tie is decided by mergesort
+    stability: 25 dets all scored 0.5 (5 junk listed first, then 20
+    perfect matches of 20 gts) keep the FIRST 20 in list order => 5 junk
+    FPs + 15 TPs, recall 15/20. Paper AP: precision after the k-th TP is
+    k/(5+k), increasing, so the envelope is flat at 15/20 = 0.75 up to
+    recall 0.75 and 0 beyond => AP = 0.75 * 76/101 (76 of the 101
+    interpolation points lie at recall <= 0.75)."""
+    gts = []
+    for k in range(20):
+        cx = 100 + (k % 5) * 120
+        cy = 80 + (k // 5) * 110
+        gts.append(_person_ann(k + 1, 1, cx, cy, spread=15.0))
+    coco_gt = _gt_coco(_dataset([1], gts), tmp_path)
+
+    def junk(k):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = 1200 + 40 * k + np.linspace(0, 10, 17)
+        kp[:, 1] = 1200 + np.linspace(0, 10, 17)
+        kp[:, 2] = 1
+        return {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": 0.5}
+
+    results = [junk(k) for k in range(5)] + [
+        _det_from(g, 0.5) for g in gts
+    ]
+    stats = _run_ids(coco_gt, results, [1])
+    assert stats[0] == pytest.approx(0.75 * 76 / 101)
+    assert stats[5] == pytest.approx(0.75)
+
+
+def test_nonignored_match_blocks_higher_oks_crowd_steal(tmp_path):
+    """pycocotools' matching loop stops considering ignored gts once the
+    detection already holds a non-ignored match (the dtIg 'break' rule):
+    a det with OKS ~0.57 against a real gt AND OKS 1.0 against a crowd
+    region covering it must match the REAL gt at thresholds <= its OKS
+    (TP), and fall through to the crowd (ignored) above them. Paper
+    expectation with OKS in (0.55, 0.60): TP at thresholds {0.50, 0.55},
+    ignored at the other 8 => AP = AR = 2/10 exactly; a best-OKS-first
+    matcher would score 0.0."""
+    gt1 = _person_ann(1, 1, 450.0, 450.0, spread=50.0, area=10000.0)
+    crowd = {
+        "id": 2, "image_id": 1, "category_id": 1,
+        "keypoints": [0.0] * 51, "num_keypoints": 0, "iscrowd": 1,
+        "area": 810000.0, "bbox": [0.0, 0.0, 900.0, 900.0],
+    }
+    coco_gt = _gt_coco(_dataset([1], [gt1, crowd]), tmp_path)
+
+    # pick the uniform offset whose OKS lands inside (0.555, 0.595):
+    # computed, not guessed, so the expectation below is airtight
+    det = None
+    for d in np.linspace(5.0, 60.0, 400):
+        kp = np.asarray(gt1["keypoints"], dtype=float).reshape(17, 3)
+        kp[:, 0] += d
+        kp[:, 2] = 1
+        cand = {"image_id": 1, "category_id": 1,
+                "keypoints": [float(v) for v in kp.reshape(-1)],
+                "score": 0.9}
+        oks = compute_oks([gt1], [cand])[0, 0]
+        if 0.555 < oks < 0.595:
+            det = cand
+            break
+    assert det is not None
+    stats = _run_ids(coco_gt, [det], [1])
+    assert stats[0] == pytest.approx(0.2)
+    assert stats[5] == pytest.approx(0.2)

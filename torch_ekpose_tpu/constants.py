@@ -161,6 +161,20 @@ HFLIP_COCO_SWAP = tuple(
     for name in COCO_KEYPOINTS
 )
 
+#: Left/right swap for the INTERNAL 18-keypoint order (same rule as
+#: HFLIP_COCO_SWAP, applied to `KEYPOINTS`; nose and neck map to
+#: themselves). Used by the on-device flip augmentation
+#: (data/device_aug.py).
+HFLIP_SWAP_INTERNAL = tuple(
+    KEYPOINTS.index(
+        name.replace("left_", "X_").replace("right_", "left_")
+        .replace("X_", "right_")
+    )
+    if name not in ("nose", "neck")
+    else KEYPOINTS.index(name)
+    for name in KEYPOINTS
+)
+
 #: OKS per-keypoint falloff, COCO order
 #: (reference lib/datasets/skleton.py:43-61 `COCO_PERSON_SIGMAS`).
 COCO_PERSON_SIGMAS = (

@@ -38,6 +38,14 @@ class CocoKeypoints:
         pafs [g,g,38]) with host rasterization, like the reference;
       - ``"device"`` -> items are (image [S,S,3] f32,
         keypoints [max_people, 18, 3] f32) for on-device rasterization.
+      - ``"raw"``    -> items are (canvas [C,C,3] uint8 RGB,
+        valid_hw [2] int32, keypoints [max_people, 18, 3] f32) with NO
+        host augmentation at all: decode, aspect-preserving downscale to
+        fit the ``raw_canvas`` square if needed, top-left placement.
+        Augmentation, normalization, and targets all happen on device
+        (:mod:`torch_ekpose_tpu.data.device_aug`); the host cost per item
+        is one file decode + one memcpy. See also
+        :mod:`torch_ekpose_tpu.data.raw_cache` for skipping the decode.
     """
 
     def __init__(
@@ -53,6 +61,7 @@ class CocoKeypoints:
         n_images: Optional[int] = None,
         all_images: bool = False,
         seed: int = 0,
+        raw_canvas: int = 432,
     ):
         self.root = root
         self.coco = COCO(ann_file)
@@ -72,6 +81,7 @@ class CocoKeypoints:
         self.stride = stride
         self.max_people = max_people
         self._seed = seed
+        self.raw_canvas = raw_canvas
 
     def _filter_for_keypoints(self, ids: List[int]) -> List[int]:
         """Keep images with at least one labeled keypoint
@@ -91,7 +101,7 @@ class CocoKeypoints:
     def __len__(self) -> int:
         return len(self.ids)
 
-    def _keypoints18(self, anns) -> np.ndarray:
+    def _keypoints18(self, anns, width=None, height=None) -> np.ndarray:
         """Annotations -> [P, 18, 3] internal keypoints with the neck
         synthesized and out-of-frame joints nulled
         (reference datasets.py:199-248)."""
@@ -104,12 +114,50 @@ class CocoKeypoints:
         if not people:
             return np.zeros((0, 18, 3))
         kpts = np.stack(people)
+        w = self.input_size if width is None else width
+        h = self.input_size if height is None else height
         out = (
-            (kpts[:, :, 0] >= self.input_size) | (kpts[:, :, 0] < 0)
-            | (kpts[:, :, 1] >= self.input_size) | (kpts[:, :, 1] < 0)
+            (kpts[:, :, 0] >= w) | (kpts[:, :, 0] < 0)
+            | (kpts[:, :, 1] >= h) | (kpts[:, :, 1] < 0)
         )
         kpts[out] = (-1.0, -1.0, 0.0)
         return kpts
+
+    def _pad_people(self, kpts: np.ndarray) -> np.ndarray:
+        """Keep labeled people, truncate/pad to ``max_people`` rows."""
+        if len(kpts):
+            kpts = kpts[(kpts[:, :, 2] > 0).any(axis=1)]
+        padded = np.zeros((self.max_people, 18, 3), dtype=np.float32)
+        n = min(len(kpts), self.max_people)
+        padded[:n] = kpts[:n]
+        return padded
+
+    def _raw_item(self, image, anns):
+        """target_mode="raw": decode-only item for the device-augmentation
+        path — (canvas [C,C,3] uint8 RGB, valid_hw [2] int32,
+        keypoints [max_people, 18, 3])."""
+        w, h = image.size
+        c = self.raw_canvas
+        kpts = self._keypoints18(anns, width=w, height=h)
+        scale = 1.0
+        if max(w, h) > c:
+            scale = c / max(w, h)
+            new_w = max(1, round(w * scale))
+            new_h = max(1, round(h * scale))
+            image = image.resize((new_w, new_h), PIL.Image.BILINEAR)
+            if len(kpts):
+                kpts = kpts.copy()
+                kpts[:, :, 0] *= new_w / w
+                kpts[:, :, 1] *= new_h / h
+            w, h = new_w, new_h
+        arr = np.asarray(image, dtype=np.uint8)
+        canvas = np.zeros((c, c, 3), dtype=np.uint8)
+        canvas[:h, :w] = arr
+        return (
+            canvas,
+            np.asarray([h, w], dtype=np.int32),
+            self._pad_people(kpts),
+        )
 
     def __getitem__(self, index: int):
         rng = np.random.default_rng(
@@ -123,22 +171,20 @@ class CocoKeypoints:
         with open(os.path.join(self.root, info["file_name"]), "rb") as f:
             image = PIL.Image.open(f).convert("RGB")
 
+        if self.target_mode == "raw":
+            return self._raw_item(image, anns)
+
         image, anns, meta = self.preprocess(image, anns, None, rng)
         image = self.image_transform(image, rng)
         image = T.mask_valid_area(image, meta["valid_area"])
 
         kpts = self._keypoints18(anns)
         if self.target_mode == "device":
-            # keep only people with at least one labeled joint before
-            # truncating to capacity — otherwise crowd images can fill
-            # every padded slot with empty rows and silently drop the
-            # labeled people that host mode would rasterize
-            if len(kpts):
-                kpts = kpts[(kpts[:, :, 2] > 0).any(axis=1)]
-            padded = np.zeros((self.max_people, 18, 3), dtype=np.float32)
-            n = min(len(kpts), self.max_people)
-            padded[:n] = kpts[:n]
-            return image.astype(np.float32), padded
+            # _pad_people keeps only people with at least one labeled
+            # joint before truncating to capacity — otherwise crowd
+            # images can fill every padded slot with empty rows and
+            # silently drop the labeled people host mode would rasterize
+            return image.astype(np.float32), self._pad_people(kpts)
 
         grid = self.input_size // self.stride
         heatmaps, pafs = gen_targets_np(

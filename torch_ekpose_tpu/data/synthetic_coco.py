@@ -162,6 +162,11 @@ def write_coco_dataset(
     seed: int = 0,
     max_people: int = 3,
     scale_range: Tuple[float, float] = (0.55, 0.85),
+    min_people: int = 1,
+    sizes: Optional[List[Tuple[int, int]]] = None,
+    post_resize_band: Optional[Tuple[float, float]] = None,
+    dest_size: int = 368,
+    first_img_id: int = 1000,
 ) -> Tuple[str, str]:
     """Write ``n_images`` rendered scenes + COCO-format annotations.
 
@@ -169,6 +174,16 @@ def write_coco_dataset(
     (reference eval.py:52-54): ``{out_dir}/images/{mode}/NNNN.png`` and
     ``{out_dir}/annotations_{mode}.json``. Returns
     (image_dir, annotation_file).
+
+    ``sizes`` (a list of (h, w) canvases, cycled per image) builds
+    mixed-aspect-ratio sets that exercise several pad-to-x8 buckets of
+    the eval protocol's ``padding`` (reference
+    lib/evaluate/estimator.py:52-68: resize max side to ``dest_size``,
+    zero-pad each dim up to a multiple of 8). With ``post_resize_band``
+    the per-image render scale is chosen so people land inside that
+    scale band AFTER the eval resize — i.e. render scale =
+    band / (dest_size / max(h, w)) — keeping every canvas size inside a
+    trained model's scale regime.
     """
     import cv2
 
@@ -180,15 +195,19 @@ def write_coco_dataset(
     annotations: List[dict] = []
     ann_id = 1
     for i in range(n_images):
-        img_id = 1000 + i
-        n_people = int(rng.integers(1, max_people + 1))
-        image, kpts = render_scene(
-            rng, n_people, h, w, scale_range=scale_range
-        )
+        img_id = first_img_id + i
+        ih, iw = sizes[i % len(sizes)] if sizes else (h, w)
+        if post_resize_band is not None:
+            r = float(dest_size) / max(ih, iw)
+            sr = (post_resize_band[0] / r, post_resize_band[1] / r)
+        else:
+            sr = scale_range
+        n_people = int(rng.integers(min_people, max_people + 1))
+        image, kpts = render_scene(rng, n_people, ih, iw, scale_range=sr)
         name = f"{img_id}.png"
         cv2.imwrite(os.path.join(image_dir, name), image)
         images.append(
-            {"id": img_id, "file_name": name, "width": w, "height": h}
+            {"id": img_id, "file_name": name, "width": iw, "height": ih}
         )
         for person in kpts:
             annotations.append(_coco_annotation(ann_id, img_id, person))

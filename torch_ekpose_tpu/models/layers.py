@@ -17,8 +17,90 @@ from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 Dtype = Any
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact TRAINING semantics.
+
+    Identical to ``flax.linen.BatchNorm`` in eval mode and in the
+    train-mode forward math (normalize with the biased batch variance,
+    stats reduced in float32), but the running-variance update uses the
+    UNBIASED batch variance (Bessel ``n/(n-1)``) — torch
+    ``_BatchNorm``'s rule, which every reference backbone trains through
+    (reference lib/network/mobilenet.py:10,25, mobilenetV2.py:13-69,
+    shufflenetV2.py via ``nn.BatchNorm2d`` defaults). flax stores the
+    biased variance instead, so after k train steps a converted
+    checkpoint's ``running_var`` would drift by ``(n/(n-1))`` per
+    accumulated batch term and eval-mode outputs would diverge from a
+    torch run. Parameter/collection names match flax ``BatchNorm``
+    (``scale``/``bias`` params, ``batch_stats`` ``mean``/``var``), so
+    checkpoint converters and existing variables are unaffected.
+
+    ``momentum`` uses the FLAX convention (0.9 here == torch's 0.1):
+    ``ra = momentum * ra + (1 - momentum) * batch``.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (feat,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (feat,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (feat,),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (feat,),
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            mean = jnp.mean(xf, axes)
+            # fast variance + negative clip, as flax _compute_stats does
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0
+            )
+            n = 1
+            for ax in axes:
+                n *= x.shape[ax]
+            unbiased = var * (n / (n - 1)) if n > 1 else var
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * unbiased
+                )
+        # normalize exactly as flax _normalize: y = (x - mean) * (rsqrt *
+        # scale) + bias, promoted, then cast to dtype
+        y = x - mean.reshape((1,) * (x.ndim - 1) + (feat,))
+        mul = lax.rsqrt(var + self.epsilon) * scale
+        y = y * mul.reshape((1,) * (x.ndim - 1) + (feat,))
+        y = y + bias.reshape((1,) * (x.ndim - 1) + (feat,))
+        from flax.linen import dtypes as _dtypes
+
+        out_dtype = _dtypes.canonicalize_dtype(
+            x, scale, bias, dtype=self.dtype
+        )
+        return jnp.asarray(y, out_dtype)
 
 #: Kaiming-normal, fan_out, relu gain — matches
 #: ``torch.nn.init.kaiming_normal_(w, mode='fan_out', nonlinearity='relu')``.
@@ -90,7 +172,7 @@ class ConvBlock(nn.Module):
                 name="conv",
             )(x)
         if self.use_bn:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
@@ -145,7 +227,7 @@ class DSConv(nn.Module):
             kernel_init=self.pointwise_init,
             name="pointwise",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

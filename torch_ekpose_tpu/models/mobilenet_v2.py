@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from torch_ekpose_tpu.models.layers import ConvBlock, Dtype, depth_fn, kaiming_out
+from torch_ekpose_tpu.models.layers import ConvBlock, Dtype, TorchBatchNorm, depth_fn, kaiming_out
 
 
 class InvertedResidual(nn.Module):
@@ -28,7 +28,7 @@ class InvertedResidual(nn.Module):
         hidden = int(round(inp * self.expand_ratio))
         use_res = self.stride == 1 and inp == self.features
         y = x
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )

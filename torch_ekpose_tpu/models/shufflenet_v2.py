@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from torch_ekpose_tpu.models.layers import Dtype, kaiming_out, max_pool
+from torch_ekpose_tpu.models.layers import Dtype, TorchBatchNorm, kaiming_out, max_pool
 
 #: width -> per-stage output channels (reference shufflenetV2.py:116-121).
 SHUFFLENET_SETTINGS = {
@@ -46,7 +46,7 @@ class ShuffleUnit(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         branch_features = self.features // 2
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
@@ -89,7 +89,7 @@ class ShuffleNetV2Backbone(nn.Module):
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=kaiming_out, name="conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name="conv1_bn",
         )(x)

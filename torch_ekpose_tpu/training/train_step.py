@@ -142,8 +142,8 @@ def make_train_step(
     propagation from "helpfully" all-gathering the moments back to
     replicated and losing ZeRO-1's memory win.
     """
-    if targets == "device" and grid is None:
-        raise ValueError("targets='device' requires grid=(gy, gx)")
+    if targets in ("device", "raw") and grid is None:
+        raise ValueError(f"targets={targets!r} requires grid=(gy, gx)")
 
     def constrain(state):
         if opt_sharding is None:
@@ -243,7 +243,29 @@ def make_train_step(
         heatmaps, pafs = target_fn(keypoints)
         return step(state, images, heatmaps, pafs)
 
-    return step_device
+    if targets == "device":
+        return step_device
+
+    if targets != "raw":
+        raise ValueError(f"unknown targets mode {targets!r}")
+
+    # targets="raw": step(state, canvases_u8, valid_hw, keypoints, key).
+    # The ENTIRE augmentation chain (flip/rescale/crop/pad + color
+    # jitter + normalize — data/device_aug.py) runs on device from
+    # decode-only host items, then chains into the device target
+    # rasterizer and the fwd+bwd step. Host cost per image: one decode
+    # (or one memcpy from data/raw_cache.py).
+    from torch_ekpose_tpu.data.device_aug import augment_batch
+
+    out_size = gy * stride
+
+    def step_raw(state, canvases_u8, valid_hw, keypoints, key):
+        images, kpts = augment_batch(
+            canvases_u8, valid_hw, keypoints, key, out_size=out_size
+        )
+        return step_device(state, images, kpts)
+
+    return step_raw
 
 
 def make_eval_step(
