@@ -177,25 +177,44 @@ def main():
                 convert_torch_checkpoint(t_now, VARIANT)["batch_stats"])
             ostats = our_bn_stats(jax.device_get(state.batch_stats))
             assert set(tstats) == set(ostats)
-            mean_rel = max(
-                float(np.max(np.abs(tstats[k][0] - ostats[k][0])
-                             / (np.abs(tstats[k][0]) + 1e-6)))
-                for k in tstats)
-            var_rel = max(
-                float(np.max(np.abs(tstats[k][1] - ostats[k][1])
-                             / (np.abs(tstats[k][1]) + 1e-6)))
-                for k in tstats)
+
+            def stat_diff(idx, floor):
+                """(max relative where |stat| > floor, max absolute) —
+                small-magnitude channels make a naive rel metric explode
+                on the fp drift the two stacks legitimately accumulate
+                over 5 full train steps."""
+                rels, abss = [0.0], [0.0]
+                for k in tstats:
+                    t, o = tstats[k][idx], ostats[k][idx]
+                    d = np.abs(t - o)
+                    abss.append(float(d.max()))
+                    big = np.abs(t) > floor
+                    if big.any():
+                        rels.append(float(
+                            (d[big] / np.abs(t[big])).max()))
+                return max(rels), max(abss)
+
+            mean_rel, mean_abs = stat_diff(0, 0.1)
+            var_rel, var_abs = stat_diff(1, 1e-3)
+            # context for the var gate: flax's biased running-var rule
+            # would miss torch's by the Bessel factor n/(n-1) = ~0.2%
+            # on every accumulated term at the head grid (n = B*16*16);
+            # the EXACT rule equality (bit-level, biased-rule-rejecting)
+            # is owned by tests/test_torch_bn.py — this phase shows the
+            # integrated 72-layer model stays inside fp-drift bounds,
+            # well under that gap.
+            bessel_gap = 1.0 / (args.batch * (args.train_size // 8) ** 2
+                                - 1)
 
             ref_model.eval()
             with torch.no_grad():
                 (paf_t, heat_t), _ = ref_model(torch.from_numpy(held_out))
             ref_model.train()
-            ours_eval = model.apply(
+            (paf_o, heat_o), _ = model.apply(
                 {"params": state.params,
                  "batch_stats": state.batch_stats},
                 jnp.asarray(held_out.transpose(0, 2, 3, 1)), train=False,
             )
-            paf_o, heat_o = ours_eval[0], ours_eval[1]
             paf_diff = float(np.max(np.abs(
                 paf_t.numpy().transpose(0, 2, 3, 1) - np.asarray(paf_o))))
             heat_diff = float(np.max(np.abs(
@@ -207,13 +226,18 @@ def main():
                 "bn_layers": len(tstats),
                 "loss_max_rel": float(max(losses_rel)),
                 "running_mean_max_rel": mean_rel,
+                "running_mean_max_abs": mean_abs,
                 "running_var_max_rel": var_rel,
+                "running_var_max_abs": var_abs,
+                "bessel_gap_for_context": bessel_gap,
                 "eval_forward_paf_max_abs": paf_diff,
                 "eval_forward_heat_max_abs": heat_diff,
                 "gate_pass": bool(
-                    max(losses_rel) < 1e-3 and mean_rel < 1e-3
-                    and var_rel < 1e-3 and paf_diff < 1e-4
-                    and heat_diff < 1e-4
+                    max(losses_rel) < 1e-3
+                    and mean_rel < 1e-2 and mean_abs < 1e-3
+                    and var_rel < min(1e-3, bessel_gap / 3.0)
+                    and var_abs < 1e-3
+                    and paf_diff < 1e-4 and heat_diff < 1e-4
                 ),
             }
             print("semantics:", json.dumps(semantics), flush=True)

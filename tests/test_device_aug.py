@@ -18,7 +18,6 @@ from torch_ekpose_tpu import constants
 from torch_ekpose_tpu.data import device_aug
 from torch_ekpose_tpu.data import transforms as T
 
-pytestmark = pytest.mark.quick
 
 
 def _scene(seed=0, size=368, people=2):

@@ -22,7 +22,6 @@ from torch_ekpose_tpu.data import (
 )
 from torch_ekpose_tpu.data.synthetic_coco import write_coco_dataset
 
-pytestmark = pytest.mark.quick
 
 
 @pytest.fixture(scope="module")

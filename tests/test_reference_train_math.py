@@ -253,3 +253,99 @@ def test_adam_step_executed_parity(ref_train):
     assert diffs.mean() < 2e-6, diffs.mean()
     # 2 steps * 2*lr sign-flip envelope
     assert diffs.max() <= 4 * LR + 1e-6, diffs.max()
+
+
+def test_warmup_frozen_backbone_executed_parity(ref_train):
+    """The reference's imagenet warmup freezes model0's backbone and
+    builds Adam over only the still-trainable parameters
+    (/root/reference/train.py:130-166). From converted-identical
+    weights, two warmup steps through both stacks must leave every
+    frozen leaf BIT-identical to its initial value while the head
+    updates agree like the main-training Adam step does — i.e. our
+    make_optimizer(freeze_backbone=True) masking is the same training
+    program, not merely a similar one."""
+    import jax.numpy as jnp
+
+    from torch_ekpose_tpu.models import get_model
+    from torch_ekpose_tpu.runtime import (
+        convert_torch_checkpoint,
+        export_torch_checkpoint,
+    )
+    from torch_ekpose_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    _install_stubs()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from lib.network import vgg2016
+    finally:
+        sys.path.remove(REFERENCE)
+
+    LR, WD = 1e-4, 5e-4
+
+    torch.manual_seed(0)
+    ref = vgg2016.OpenPose()
+    ref.train()
+    state0 = {k: v.detach().numpy().copy()
+              for k, v in ref.state_dict().items()}
+    # the reference's warmup freeze (train.py:131-133) + optimizer over
+    # trainable params only (train.py:137-149)
+    for param in ref.model0.backbone.parameters():
+        param.requires_grad = False
+    trainable = [p for p in ref.parameters() if p.requires_grad]
+    optimizer = torch.optim.Adam(
+        trainable, lr=LR, betas=(0.9, 0.999), weight_decay=WD)
+    args = types.SimpleNamespace(batch_size=BATCH)
+
+    variables = convert_torch_checkpoint(state0, "vgg2016")
+    model = get_model("vgg2016")
+    state = create_train_state(
+        model, variables, make_optimizer(LR, WD, freeze_backbone=True))
+    step = make_train_step(model, targets="host")
+
+    rng = np.random.default_rng(21)
+    for _ in range(2):
+        images, heat, paf = _random_problem(rng)
+        _, saved = ref(torch.from_numpy(images))
+        total, _ = ref_train.get_loss(
+            saved, torch.from_numpy(heat), torch.from_numpy(paf), args)
+        optimizer.zero_grad()
+        total.backward()
+        optimizer.step()
+        state, _ = step(
+            state,
+            jnp.asarray(images.transpose(0, 2, 3, 1)),
+            jnp.asarray(heat.transpose(0, 2, 3, 1)),
+            jnp.asarray(paf.transpose(0, 2, 3, 1)),
+        )
+
+    exported = export_torch_checkpoint(
+        {"params": state.params}, "vgg2016", prefix="")
+    ref_after = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    frozen_keys = [k for k in state0 if k.startswith("model0.")]
+    assert frozen_keys
+    for key in frozen_keys:
+        # bit-identical on BOTH stacks: torch never touched them, and
+        # our multi_transform masked them to zero updates
+        np.testing.assert_array_equal(ref_after[key], state0[key],
+                                      err_msg=f"torch moved {key}")
+        np.testing.assert_array_equal(exported[key], state0[key],
+                                      err_msg=f"ours moved {key}")
+
+    diffs, updates = [], []
+    for key, ref_val in ref_after.items():
+        if key in frozen_keys:
+            continue
+        diffs.append(np.abs(exported[key] - ref_val).ravel())
+        updates.append(np.abs(ref_val - state0[key]).ravel())
+    diffs = np.concatenate(diffs)
+    updates = np.concatenate(updates)
+    assert np.median(updates) > 1e-5   # the heads actually trained
+    frac_tight = np.mean(diffs <= 1e-5)
+    assert frac_tight >= 0.999, f"only {frac_tight:.5f} of params within 1e-5"
+    assert diffs.mean() < 2e-6, diffs.mean()
+    assert diffs.max() <= 4 * LR + 1e-6, diffs.max()
