@@ -1,16 +1,23 @@
 """Crowded-scene end-task check: capped device decode vs unbounded host
-decode on trained weights.
+decode vs the EXECUTED REFERENCE STACK, all on trained weights.
 
 The device decoder's fixed capacities (top-32 peaks/part, 96 person
 rows) diverge from the reference's unbounded assembler on extreme
 scenes (docs/PARITY.md; truncation rules pinned in
 tests/test_capacity.py). This measures whether that matters at the
 DEFAULT capacities on genuinely crowded images: a rendered val set with
-8-12 people per image is evaluated twice with the trained-parity
-checkpoint — once through the on-device (capped) decoder, once through
-the host oracle (unbounded, reference semantics) — and both AP and the
-per-image human counts are compared. Also reports whether the
-saturation warning fired.
+8-12 people per image is evaluated three ways with the trained-parity
+checkpoint —
+
+- ``jax``:       our on-device (capped) decoder;
+- ``numpy``:     our host oracle (unbounded, reference semantics);
+- ``reference``: the reference's own eval loop executed verbatim
+  (``get_outputs`` + SWIG ``paf_to_pose_cpp`` + ``append_result``,
+  reference eval.py:129-170) — the one decode regime where round-3
+  evidence was only self-referential.
+
+AP, per-image human counts, and cross-stack detection agreement are
+compared. Also reports whether the saturation warning fired.
 
 Writes CROWD_CHECK.json. Needs scripts/trained_parity.py's checkpoint.
 """
@@ -21,9 +28,11 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
@@ -117,16 +126,49 @@ def main():
         }
         print(backend, results[backend], flush=True)
 
+    # ---- the executed reference stack on the same scenes ----------------
+    import refstack
+    from trained_parity import detection_agreement, run_reference_eval
+
+    tmp = tempfile.mkdtemp(prefix="refpaf_")
+    pafprocess = refstack.build_reference_pafprocess(tmp)
+    ref_estimator, ref_vgg2016, _ = refstack.import_reference_modules(
+        pafprocess
+    )
+    ref_eval = refstack.import_reference_eval()
+    ref_rows = run_reference_eval(
+        ref_eval, ref_estimator, ref_vgg2016, args.ckpt,
+        image_dir, anno_file, args.workdir,
+    )
+    img_ids = [im["id"] for im in images]
+    ap_ref = evaluator.eval_coco(ref_rows, anno_file, img_ids)
+    with open(os.path.join(args.workdir, "results_numpy.json")) as f:
+        oracle_rows = json.load(f)
+    with open(os.path.join(args.workdir, "results_jax.json")) as f:
+        device_rows = json.load(f)
+    results["reference"] = {
+        "ap": round(float(ap_ref), 4),
+        "detections": len(ref_rows),
+        "agreement_vs_oracle": detection_agreement(
+            oracle_rows, ref_rows, img_ids),
+        "agreement_vs_device": detection_agreement(
+            device_rows, ref_rows, img_ids),
+    }
+    print("reference", results["reference"], flush=True)
+
     out = {
         "backend": jax.default_backend(),
         "setup": f"{args.images} rendered scenes, "
                  f"{args.min_people}-{args.max_people} people each, "
                  "trained-parity weights; device decode (capped 32 "
                  "peaks/part, 96 person rows) vs host oracle (unbounded, "
-                 "reference semantics)",
+                 "reference semantics) vs the reference's executed "
+                 "eval.py loop (SWIG decode)",
         "results": results,
         "ap_delta_capped_vs_unbounded": round(
             results["jax"]["ap"] - results["numpy"]["ap"], 4),
+        "ap_delta_ours_vs_reference": round(
+            results["numpy"]["ap"] - results["reference"]["ap"], 4),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
