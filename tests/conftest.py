@@ -33,7 +33,10 @@ QUICK_MODULES = {
     "test_decode_oracle",  # L4 decode (numpy backend, no compile)
     "test_decode_native",  # L4 decode (C++ backend)
     "test_resize",         # runtime resize parity
-    "test_bench",          # driver-contract smoke
+    # test_bench is deliberately NOT here: the full bench loop costs
+    # ~7 min of XLA compiles on CPU (the whole tier's budget); the
+    # driver runs bench.py directly every round and the full suite
+    # still covers the contract.
 }
 
 
