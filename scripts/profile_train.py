@@ -28,6 +28,12 @@ def main():
     p.add_argument("--size", type=int, default=368)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--targets", default="device", choices=("device", "raw"),
+        help="device: host-augmented images in, targets on-chip; "
+             "raw: uint8 canvases in, augmentation AND targets on-chip "
+             "(the data/device_aug.py path)",
+    )
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -54,6 +60,13 @@ def main():
     kpts[:, 0, :, 2] = 2
     kpts = jnp.asarray(kpts)
 
+    # raw mode inputs: uint8 canvases + valid extents + a PRNG key; the
+    # step runs flip/rescale/crop/pad/jitter/normalize on-chip first
+    canvases = jnp.asarray(
+        rng.integers(0, 256, (b, s, s, 3)), jnp.uint8)
+    valid_hw = jnp.full((b, 2), s, jnp.int32)
+    aug_key = jax.random.PRNGKey(0)
+
     _, variables = init_model(args.model, input_shape=(1, s, s, 3))
 
     for dtype_name, dtype in (("float32", jnp.float32),
@@ -62,9 +75,13 @@ def main():
         with jax.default_device(jax.devices()[0]):
             tx = make_optimizer(1e-4, 5e-4)
             state = create_train_state(model, variables, tx)
-        step = make_train_step(model, targets="device", grid=grid)
+        step = make_train_step(model, targets=args.targets, grid=grid)
+        if args.targets == "raw":
+            step_args = (canvases, valid_hw, kpts, aug_key)
+        else:
+            step_args = (images, kpts)
 
-        state, logs = step(state, images, kpts)       # compile + warm
+        state, logs = step(state, *step_args)         # compile + warm
         # Steps serialize through the carried ``state``; the clock must
         # still STOP on a real value fetch — block_until_ready has
         # returned before queued work executed under tunnel congestion
@@ -72,14 +89,14 @@ def main():
         float(jax.device_get(logs["Loss"]))
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, logs = step(state, images, kpts)
+            state, logs = step(state, *step_args)
         float(jax.device_get(logs["Loss"]))
         dt = (time.perf_counter() - t0) / args.steps
 
         mfu = None
         try:
             inner = jax.jit(step)
-            cost = inner.lower(state, images, kpts).compile().cost_analysis()
+            cost = inner.lower(state, *step_args).compile().cost_analysis()
             flops = float((cost or {}).get("flops", 0.0))
             if peak and flops > 0:
                 mfu = round(flops / dt / peak, 3)
@@ -87,6 +104,7 @@ def main():
             pass
         print(json.dumps({
             "dtype": dtype_name, "batch": b, "size": s,
+            "targets": args.targets,
             "ms_per_step": round(dt * 1e3, 2),
             "images_per_sec": round(b / dt, 2),
             "loss": round(float(logs["Loss"]), 3),

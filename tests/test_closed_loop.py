@@ -200,3 +200,42 @@ def test_preempt_ckpt_supersedes_explicit_resume(tmp_path, capsys):
     assert "skipping warmup" in out, out[-2000:]
     assert f"auto-resumed from {preempt}" in out, out[-2000:]
     assert not os.path.exists(preempt)          # consumed on restore
+
+
+def test_train_cli_raw_targets_with_cache(tmp_path):
+    """--targets raw --raw-cache: decode-only loader + pre-decoded memmap
+    cache + on-device augmentation/targets, end-to-end through cli.train.
+    Certifies the wiring (cache built once then reused, checkpoint
+    written, finite decreasing loss); device_aug numerics are pinned in
+    tests/test_device_aug.py."""
+    from torch_ekpose_tpu.cli.train import main as train_main
+
+    data_dir = build_synth_tree(str(tmp_path / "data"), n_train=8)
+    out_dir = str(tmp_path / "ckpts")
+    cache = str(tmp_path / "rawcache")
+
+    def run(epochs):
+        train_main([
+            "-m", MODEL, "-d", "synth", "--data-dir", data_dir,
+            "-b", "2", "-e", str(epochs), "--square_size", str(SIZE),
+            "--workers", "0", "--num-devices", "1", "--lr", "1e-3",
+            "--targets", "raw", "--raw-cache", cache,
+            "--save_epoch", str(epochs), "--out-dir", out_dir,
+            "--logdir", str(tmp_path / "logs"),
+        ])
+
+    run(2)
+    assert os.path.exists(cache + "_meta.json")
+    ckpt = os.path.join(out_dir, "epoch_1.ckpt")
+    assert os.path.exists(ckpt)
+    built = os.path.getmtime(cache + "_images.npy")
+
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(open(ckpt, "rb").read())
+    losses = list(payload["train_curve"]["train"])
+    assert len(losses) == 2
+    assert all(np.isfinite(losses)), losses
+    # second run must REUSE the cache, not rebuild it
+    run(1)
+    assert os.path.getmtime(cache + "_images.npy") == built

@@ -67,7 +67,19 @@ def main(argv=None) -> None:
                         "(ZeRO-1): cuts optimizer HBM by the device "
                         "count, identical numerics")
     parser.add_argument("--targets", type=str, default="device",
-                        choices=["device", "host"])
+                        choices=["device", "host", "raw"],
+                        help="host: reference-shaped host pipeline; "
+                        "device: targets rasterized on-chip; raw: the "
+                        "host only decodes — augmentation AND targets "
+                        "run on-chip (data/device_aug.py; measured free "
+                        "at bf16, docs/PERF.md). Validation always "
+                        "evaluates un-augmented device-target items")
+    parser.add_argument("--raw-cache", type=str, default=None,
+                        help="with --targets raw: path prefix for a "
+                        "pre-decoded memmap cache (data/raw_cache.py), "
+                        "built on first use; a train epoch's host cost "
+                        "drops to a memcpy per image (~11,700 img/s/core "
+                        "measured)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation/compute dtype for the train step; "
@@ -153,16 +165,39 @@ def main(argv=None) -> None:
         anno = os.path.join(
             args.data_dir, args.datasets, f"annotations_{mode}.json"
         )
+        # raw mode: the TRAIN loader serves decode-only uint8 canvases
+        # (augmentation happens inside the jitted train step); validation
+        # never augments, so its loader serves standard device-target
+        # items and rides the unchanged eval step
+        raw_train = args.targets == "raw" and train
         ds = CocoKeypoints(
             root, anno,
             preprocess=T.TRAIN_PREPROCESS(args.square_size),
             image_transform=(
                 T.image_transform_train if train else T.image_transform
             ),
-            target_mode=args.targets,
+            target_mode="raw" if raw_train else (
+                "device" if args.targets == "raw" else args.targets
+            ),
             input_size=args.square_size,
             n_images=args.n_images,
         )
+        if raw_train and args.raw_cache:
+            from torch_ekpose_tpu.data.raw_cache import (
+                RawArrayDataset, build_raw_cache, cache_exists,
+            )
+            import jax as _jax
+
+            if not cache_exists(args.raw_cache):
+                if _jax.process_index() == 0:
+                    build_raw_cache(ds, args.raw_cache, progress=True)
+                else:
+                    # multi-host on a shared filesystem: process 0 builds
+                    import time as _time
+
+                    while not cache_exists(args.raw_cache):
+                        _time.sleep(2.0)
+            ds = RawArrayDataset(args.raw_cache)
         import jax
 
         n_proc = jax.process_count()

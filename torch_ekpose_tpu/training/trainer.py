@@ -105,15 +105,26 @@ class Trainer:
         self.state = place_tree(self.mesh, state, self._state_shardings)
 
         grid = (tc.square_size // 8, tc.square_size // 8)
+        self.targets = targets
         self.train_step = make_train_step(
             self.model, targets=targets, grid=grid, grad_accum=grad_accum,
             opt_sharding=(
                 self._state_shardings.opt_state if zero1 else None
             ),
         )
+        # raw mode augments TRAINING batches on device; validation never
+        # augments, so its loader serves device-mode items (cli/train.py)
+        # and the eval step stays the device-targets program
         self.eval_step = make_eval_step(
-            self.model, targets=targets, grid=grid
+            self.model,
+            targets="device" if targets == "raw" else targets,
+            grid=grid,
         )
+        # per-batch device-augmentation keys: identical on every host of
+        # a multi-host run (the batch is globally sharded, per-image keys
+        # split inside augment_batch), deterministic across resume via
+        # (epoch, batch) folding
+        self._aug_base = jax.random.PRNGKey(tc.seed + 0x7261)
         self.scheduler = ReduceLROnPlateau(
             tc.lr, factor=tc.lr_factor, patience=tc.lr_patience
         )
@@ -187,7 +198,13 @@ class Trainer:
                 break
             data_time.update(time.time() - end)
             batch = shard_batch(self.mesh, batch)
-            if train:
+            if train and self.targets == "raw":
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self._aug_base, self.epoch),
+                    n_batches,
+                )
+                self.state, logs = self.train_step(self.state, *batch, key)
+            elif train:
                 self.state, logs = self.train_step(self.state, *batch)
             else:
                 logs = self.eval_step(self.state, *batch)
