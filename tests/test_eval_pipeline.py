@@ -224,3 +224,46 @@ def test_eval_pipeline_jax_backend_batched(tmp_path):
         img_dir, anno, est, mode="val", progress=False, batch_size=2
     )
     assert ap > 0.75, f"AP {ap}"
+
+
+def test_eval_batch1_jax_rides_device_decode(tmp_path):
+    """batch_size=1 with decode_backend='jax' must NOT fall back to host
+    decode: it rides the batched device pipeline and produces the same
+    result rows as batch_size=2 (cli.eval's TPU default relies on this)."""
+    pytest.importorskip("PIL")
+    img_dir, anno, gt18 = _build_dataset(tmp_path, n_images=4)
+
+    class JaxFake(FakeEstimator):
+        def __init__(self, gt18):
+            super().__init__(gt18)
+            self.decode_backend = "jax"
+            self.async_calls = 0
+
+        def estimate_batch_async(self, images):
+            self.async_calls += 1
+            return self.get_outputs_batch(images)
+
+        def collect_batch(self, handle):
+            from torch_ekpose_tpu.decode.device import paf_to_pose_jax
+
+            pafs_b, heat_b = handle
+            return [
+                paf_to_pose_jax(heat, pafs, self.config)
+                for heat, pafs in zip(heat_b, pafs_b)
+            ]
+
+    rows = {}
+    for bs in (1, 2):
+        est = JaxFake(gt18)
+        out = tmp_path / f"rows_b{bs}.json"
+        ap = run_eval(
+            img_dir, anno, est, mode="val", progress=False,
+            batch_size=bs, results_json=str(out),
+        )
+        assert ap > 0.75, f"AP {ap} at batch {bs}"
+        assert est.async_calls > 0, "device decode path was skipped"
+        rows[bs] = sorted(
+            json.loads(out.read_text()),
+            key=lambda r: (r["image_id"], r["keypoints"]),
+        )
+    assert rows[1] == rows[2]

@@ -26,9 +26,10 @@ def main(argv=None) -> None:
                         help="keep results.json")
     parser.add_argument("--vis-dir", type=str, default="results/")
     parser.add_argument("--n-images", type=int, default=None)
-    parser.add_argument("-b", "--batch", type=int, default=1,
+    parser.add_argument("-b", "--batch", type=int, default=None,
                         help="shape-bucketed batch size (>1 batches the "
-                        "forward pass per padded-shape bucket)")
+                        "forward pass per padded-shape bucket). Default: "
+                        "8 on TPU, 1 elsewhere (the reference's shape)")
     parser.add_argument("--num-devices", type=int, default=0,
                         help="shard each eval batch over an N-device "
                         "mesh (0 = single device); requires --batch to "
@@ -37,6 +38,20 @@ def main(argv=None) -> None:
                         "linearly over ICI with no cross-chip "
                         "collectives")
     args = parser.parse_args(argv)
+
+    # TPU-native defaults: bucketed batched forward + on-device decode.
+    # Explicit --batch / --decode-backend flags always win; off-TPU the
+    # defaults stay reference-shaped (batch 1, host decode). PERF.md
+    # "Eval throughput" has the measured difference.
+    common.apply_platform(getattr(args, "platform", "auto"))
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if args.batch is None:
+        args.batch = 8 if on_tpu else 1
+    if on_tpu and getattr(args, "decode_backend", "auto") == "auto" \
+            and args.num_devices <= 1:
+        args.decode_backend = "jax"
 
     if args.num_devices > 1:
         if args.batch % args.num_devices:

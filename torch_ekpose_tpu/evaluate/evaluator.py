@@ -136,6 +136,17 @@ def run_eval(
 
     stride = estimator.config.MODEL.DOWNSAMPLE
     outputs: List[dict] = []
+    # the jax decode backend is inherently batched (fixed-shape packed
+    # results, async pipelining); batch_size=1 rides the same path so the
+    # signature on-device decode is never silently skipped (the host-map
+    # branch below would remap jax -> host decode)
+    if batch_size <= 1 and getattr(estimator, "decode_backend", "") == "jax":
+        _run_eval_batched(
+            image_dir, coco, img_ids, estimator, iterator, stride, 1,
+            outputs, vis_dir=vis_dir if save_every else None,
+            save_every=save_every,
+        )
+        return eval_coco(outputs, anno_file, img_ids, results_json)
     if batch_size <= 1:
         for i, img_id in enumerate(iterator):
             info = coco.loadImgs(img_id)[0]
