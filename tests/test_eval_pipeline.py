@@ -267,3 +267,53 @@ def test_eval_batch1_jax_rides_device_decode(tmp_path):
             key=lambda r: (r["image_id"], r["keypoints"]),
         )
     assert rows[1] == rows[2]
+
+
+def test_prefetch_read_preserves_order_and_values(tmp_path):
+    """The background reader yields exactly the synchronous sequence:
+    same (seq, img_id) order and bit-identical padded arrays/scales."""
+    pytest.importorskip("PIL")
+    import os
+
+    from torch_ekpose_tpu.data.coco import COCO
+    from torch_ekpose_tpu.evaluate.evaluator import (
+        _prefetch_read, read_image_bgr,
+    )
+
+    img_dir, anno, _ = _build_dataset(tmp_path, n_images=5)
+    coco = COCO(str(anno))
+    img_ids = coco.getImgIds()
+
+    got = list(_prefetch_read(iter(img_ids), str(img_dir), coco,
+                              dest_size=368, stride=8, depth=2))
+    assert [g[0] for g in got] == list(range(len(img_ids)))
+    assert [g[1] for g in got] == list(img_ids)
+    for seq, img_id in enumerate(img_ids):
+        info = coco.loadImgs(img_id)[0]
+        image = read_image_bgr(os.path.join(str(img_dir),
+                                            info["file_name"]))
+        im_pad, scale, _ = padding(image, 368, 8)
+        assert np.array_equal(got[seq][2], image)
+        assert np.array_equal(got[seq][3], im_pad)
+        assert got[seq][4] == scale
+
+
+def test_prefetch_read_propagates_reader_errors(tmp_path):
+    """A failure inside the reader thread (missing file) surfaces as an
+    exception in the consuming loop, not a silent truncation or hang."""
+    pytest.importorskip("PIL")
+    from torch_ekpose_tpu.data.coco import COCO
+    from torch_ekpose_tpu.evaluate.evaluator import _prefetch_read
+
+    img_dir, anno, _ = _build_dataset(tmp_path, n_images=3)
+    coco = COCO(str(anno))
+    img_ids = coco.getImgIds()
+    missing = coco.loadImgs(img_ids[1])[0]["file_name"]
+    (tmp_path / "images" / missing).unlink()
+
+    out = []
+    with pytest.raises(Exception):
+        for item in _prefetch_read(iter(img_ids), str(img_dir), coco,
+                                   dest_size=368, stride=8, depth=2):
+            out.append(item)
+    assert len(out) <= 1  # only the image before the failure
