@@ -66,6 +66,12 @@ def main(argv=None) -> None:
                         help="shard Adam moments across the mesh "
                         "(ZeRO-1): cuts optimizer HBM by the device "
                         "count, identical numerics")
+    parser.add_argument("--spatial", type=int, default=1, metavar="K",
+                        help="shard the image HEIGHT over K devices per "
+                        "batch shard (2-D data x spatial mesh, GSPMD "
+                        "conv halo exchanges): one step spans more "
+                        "chips than the batch, or fits a resolution "
+                        "one chip's HBM cannot; identical numerics")
     parser.add_argument("--targets", type=str, default="device",
                         choices=["device", "host", "raw"],
                         help="host: reference-shaped host pipeline; "
@@ -202,12 +208,19 @@ def main(argv=None) -> None:
 
         n_proc = jax.process_count()
         n_dev = args.num_devices or jax.device_count()
-        if args.batch_size % max(n_dev, 1):
-            # the data sharding splits the batch axis across every mesh
-            # device, so process-count divisibility alone is not enough
+        if args.spatial > 1 and n_dev % args.spatial:
+            raise SystemExit(
+                f"--spatial {args.spatial} must divide the "
+                f"{n_dev}-device mesh"
+            )
+        dp = n_dev // max(args.spatial, 1)
+        if args.batch_size % max(dp, 1):
+            # the data sharding splits the batch axis across the mesh's
+            # data axis, so process-count divisibility alone is not enough
             raise SystemExit(
                 f"--batch_size {args.batch_size} must divide evenly "
-                f"across the {n_dev}-device mesh ({n_proc} processes)"
+                f"across the {dp}-way data axis of the {n_dev}-device "
+                f"mesh ({n_proc} processes)"
             )
         # each process loads its strided shard of the dataset and feeds
         # its slice of the global batch (shard_batch assembles the rest)
@@ -322,7 +335,7 @@ def main(argv=None) -> None:
             log_dir=log_dir, targets=args.targets,
             num_devices=args.num_devices, freeze_backbone=True,
             compute_dtype=compute_dtype, grad_accum=args.grad_accum,
-            zero1=args.zero1,
+            zero1=args.zero1, spatial=args.spatial,
         )
         warmup.fit(
             train_loader, val_loader, epochs=args.warmup_epochs,
@@ -340,6 +353,7 @@ def main(argv=None) -> None:
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
         num_devices=args.num_devices, compute_dtype=compute_dtype,
         grad_accum=args.grad_accum, zero1=args.zero1,
+        spatial=args.spatial,
     )
     if resume_preempt:
         # A preemption checkpoint from a killed run: pick up where it

@@ -1,5 +1,6 @@
 from torch_ekpose_tpu.parallel.mesh import (
     data_sharding,
+    field_sharding,
     make_mesh,
     init_distributed,
     place_replicated,
@@ -13,6 +14,7 @@ __all__ = [
     "ShardedPoseEstimator",
     "SpatialPoseEstimator",
     "data_sharding",
+    "field_sharding",
     "make_mesh",
     "init_distributed",
     "place_replicated",

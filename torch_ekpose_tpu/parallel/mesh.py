@@ -27,11 +27,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "init_distributed", "make_mesh", "data_sharding", "replicated",
-    "place_replicated", "place_tree", "shard_batch",
+    "field_sharding", "place_replicated", "place_tree", "shard_batch",
     "zero1_sharding_tree", "infer_compute_dtype",
 ]
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def infer_compute_dtype(params):
@@ -72,19 +73,47 @@ def init_distributed(
     )
 
 
-def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh. ``num_devices=0`` uses all (global, when
-    distributed) devices."""
+def make_mesh(num_devices: int = 0, devices=None, spatial: int = 1) -> Mesh:
+    """Device mesh. ``num_devices=0`` uses all (global, when distributed)
+    devices.
+
+    ``spatial=1`` (default): the 1-D data-parallel mesh.
+    ``spatial=k>1``: a 2-D ``(data, spatial)`` mesh for spatially-sharded
+    training — the batch axis splits over ``data`` and the image HEIGHT
+    over ``spatial`` (GSPMD partitions every conv spatially and inserts
+    the halo exchanges; see :func:`field_sharding`). Devices fill the
+    spatial axis first so each sp group sits on adjacent (ICI-near)
+    chips, where the per-conv halo rows travel.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices:
         devices = devices[:num_devices]
+    if spatial > 1:
+        n = len(devices)
+        if n % spatial:
+            raise ValueError(
+                f"spatial={spatial} does not divide the {n}-device mesh"
+            )
+        grid = np.asarray(devices).reshape(n // spatial, spatial)
+        return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def field_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC field sharding: batch over ``data``, height over ``spatial``.
+
+    On a 1-D mesh this degenerates to :func:`data_sharding` so callers
+    can pass it unconditionally.
+    """
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    return data_sharding(mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -132,6 +161,12 @@ def zero1_sharding_tree(mesh: Mesh, tree):
     those are a rounding error next to the kernels.
     """
     n = mesh.size
+    # on a 2-D (data, spatial) mesh the moments shard over BOTH axes —
+    # ZeRO-1 is a memory layout, any flattening of the device set works
+    axes = (
+        mesh.axis_names[0] if len(mesh.axis_names) == 1
+        else tuple(mesh.axis_names)
+    )
 
     def leaf(x):
         shape = getattr(x, "shape", ())
@@ -142,7 +177,7 @@ def zero1_sharding_tree(mesh: Mesh, tree):
         if best is None:
             return replicated(mesh)
         spec = [None] * len(shape)
-        spec[best] = DATA_AXIS
+        spec[best] = axes
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree.map(leaf, tree)
@@ -169,20 +204,30 @@ def place_tree(mesh: Mesh, tree, shardings):
     return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, specs=None):
     """Place a pytree of host arrays with the batch axis sharded.
 
     Single-process: one device_put. Multi-process: each process passes
     its LOCAL slice of the batch (its loader's shard) and the result is
     the global array — batch axis globally sharded, addressable shards
     fed from local data.
+
+    ``specs``: optional per-element ``PartitionSpec`` tuple matching a
+    tuple batch (spatial training shards NHWC fields over
+    ``(data, spatial)`` while keypoint tensors stay batch-sharded);
+    ``None`` keeps the uniform leading-axis data sharding.
     """
-    sharding = data_sharding(mesh)
+    if specs is None:
+        shardings = jax.tree.map(lambda _: data_sharding(mesh), batch)
+    else:
+        shardings = tuple(NamedSharding(mesh, s) for s in specs)
     if jax.process_count() > 1:
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
             ),
-            batch,
+            batch, shardings,
         )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), batch, shardings
+    )

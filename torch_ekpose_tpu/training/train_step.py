@@ -125,6 +125,7 @@ def make_train_step(
     sigma: float = constants.TARGET_SIGMA,
     grad_accum: int = 1,
     opt_sharding=None,
+    field_sharding=None,
 ):
     """Build the jitted train step.
 
@@ -141,9 +142,24 @@ def make_train_step(
     updated optimizer state is pinned to it, which keeps XLA's sharding
     propagation from "helpfully" all-gathering the moments back to
     replicated and losing ZeRO-1's memory win.
+    ``field_sharding``: a :class:`NamedSharding` for the NHWC field
+    tensors (images + targets). Spatial training passes
+    ``parallel.mesh.field_sharding(mesh)`` — batch over ``data``, image
+    HEIGHT over ``spatial`` — and GSPMD partitions every conv spatially,
+    inserting the halo exchanges over ICI; the constraint keeps
+    device-generated targets (which arrive batch-sharded from the
+    keypoint tensors) from pulling the whole loss onto one H shard.
     """
     if targets in ("device", "raw") and grid is None:
         raise ValueError(f"targets={targets!r} requires grid=(gy, gx)")
+
+    def constrain_fields(*fields):
+        if field_sharding is None:
+            return fields
+        return tuple(
+            jax.lax.with_sharding_constraint(x, field_sharding)
+            for x in fields
+        )
 
     def constrain(state):
         if opt_sharding is None:
@@ -221,6 +237,7 @@ def make_train_step(
 
     @jax.jit
     def step(state, images, heatmaps, pafs):
+        images, heatmaps, pafs = constrain_fields(images, heatmaps, pafs)
         if grad_accum > 1:
             return compute_accum(state, images, heatmaps, pafs)
         return compute(state, images, heatmaps, pafs)
@@ -275,8 +292,13 @@ def make_eval_step(
     grid: Optional[Tuple[int, int]] = None,
     stride: int = constants.DOWNSAMPLE,
     sigma: float = constants.TARGET_SIGMA,
+    field_sharding=None,
 ):
-    """Validation loss step (reference train.py:395-430, no backward)."""
+    """Validation loss step (reference train.py:395-430, no backward).
+
+    ``field_sharding``: as in :func:`make_train_step` — spatial
+    training's validation pass runs under the same NHWC sharding.
+    """
 
     def compute(state, images, heat_t, paf_t):
         variables = {"params": state.params}
@@ -289,6 +311,11 @@ def make_eval_step(
 
     @jax.jit
     def step(state, images, heatmaps, pafs):
+        if field_sharding is not None:
+            images, heatmaps, pafs = (
+                jax.lax.with_sharding_constraint(x, field_sharding)
+                for x in (images, heatmaps, pafs)
+            )
         return compute(state, images, heatmaps, pafs)
 
     if targets == "host":

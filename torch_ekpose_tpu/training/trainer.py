@@ -20,6 +20,7 @@ from flax import serialization
 from torch_ekpose_tpu.config import Config, cfg as default_cfg
 from torch_ekpose_tpu.models import get_model, init_model
 from torch_ekpose_tpu.parallel import (
+    field_sharding,
     make_mesh,
     place_tree,
     replicated,
@@ -70,6 +71,7 @@ class Trainer:
         compute_dtype=None,
         grad_accum: int = 1,
         zero1: bool = False,
+        spatial: int = 1,
     ):
         self.config = config or default_cfg
         tc = self.config.TRAIN
@@ -87,7 +89,21 @@ class Trainer:
                 input_shape=(1, tc.square_size, tc.square_size, 3),
                 dtype=dtype,
             )
-        self.mesh = make_mesh(num_devices or tc.num_devices)
+        # spatial>1: 2-D (data, spatial) mesh — the batch splits over
+        # `data` and the image HEIGHT over `spatial` (GSPMD partitions
+        # every conv spatially with halo exchanges over ICI). This is
+        # how one training step spans more chips than the batch size,
+        # or fits a resolution one chip's HBM cannot: dp scales
+        # throughput, sp scales the per-example footprint.
+        self._spatial = spatial
+        if spatial > 1 and jax.process_count() > 1:
+            raise NotImplementedError(
+                "spatial training is single-controller for now: the "
+                "multi-host loader shards per-process batches along the "
+                "batch axis only (mesh.shard_batch)"
+            )
+        self.mesh = make_mesh(num_devices or tc.num_devices,
+                              spatial=spatial)
         tx = make_optimizer(
             tc.lr, tc.weight_decay, freeze_backbone=freeze_backbone
         )
@@ -106,11 +122,13 @@ class Trainer:
 
         grid = (tc.square_size // 8, tc.square_size // 8)
         self.targets = targets
+        fields = field_sharding(self.mesh) if spatial > 1 else None
         self.train_step = make_train_step(
             self.model, targets=targets, grid=grid, grad_accum=grad_accum,
             opt_sharding=(
                 self._state_shardings.opt_state if zero1 else None
             ),
+            field_sharding=fields,
         )
         # raw mode augments TRAINING batches on device; validation never
         # augments, so its loader serves device-mode items (cli/train.py)
@@ -119,6 +137,7 @@ class Trainer:
             self.model,
             targets="device" if targets == "raw" else targets,
             grid=grid,
+            field_sharding=fields,
         )
         # per-batch device-augmentation keys: identical on every host of
         # a multi-host run (the batch is globally sharded, per-image keys
@@ -153,6 +172,31 @@ class Trainer:
         # deterministic batch indices instead, and all hosts break at the
         # next agreed boundary together.
         self.preempt_sync_every = 16
+
+    def _batch_specs(self, batch):
+        """Per-element PartitionSpecs for :func:`shard_batch`.
+
+        1-D mesh: ``None`` (uniform batch-axis sharding). Spatial mesh:
+        NHWC fields split ``(data, spatial)``; keypoint/size tensors
+        stay batch-sharded (their H-sharded targets materialize on
+        device under the train step's field constraint). Raw-mode
+        uint8 canvases stay batch-sharded too — the device augmenter's
+        crops move rows across the H axis, so sharding its INPUT
+        spatially would only buy resharding traffic.
+        """
+        if self._spatial <= 1:
+            return None
+        from jax.sharding import PartitionSpec as P
+
+        from torch_ekpose_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+        fields = P(DATA_AXIS, SPATIAL_AXIS)
+        batch_only = P(DATA_AXIS)
+        if self.targets == "host":
+            return (fields,) * len(batch)          # images, heat, paf
+        if len(batch) == 3:                        # raw: canvas, hw, kpts
+            return (batch_only,) * 3
+        return (fields, batch_only)                # device: images, kpts
 
     def _sync_preempted(self) -> bool:
         """Consensus preemption flag. Multi-host processes receive
@@ -197,7 +241,9 @@ class Trainer:
                     and self._sync_preempted()):
                 break
             data_time.update(time.time() - end)
-            batch = shard_batch(self.mesh, batch)
+            batch = shard_batch(
+                self.mesh, batch, self._batch_specs(batch)
+            )
             if train and self.targets == "raw":
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._aug_base, self.epoch),
