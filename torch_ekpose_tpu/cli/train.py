@@ -72,6 +72,13 @@ def main(argv=None) -> None:
                         "conv halo exchanges): one step spans more "
                         "chips than the batch, or fits a resolution "
                         "one chip's HBM cannot; identical numerics")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize backbone + CPM-branch "
+                        "activations in the backward pass "
+                        "(jax.checkpoint): exact same gradients, "
+                        "activation HBM traded for ~one extra forward "
+                        "— fits larger batches or resolutions per chip "
+                        "(measured in docs/PERF.md)")
     parser.add_argument("--targets", type=str, default="device",
                         choices=["device", "host", "raw"],
                         help="host: reference-shaped host pipeline; "
@@ -336,6 +343,7 @@ def main(argv=None) -> None:
             num_devices=args.num_devices, freeze_backbone=True,
             compute_dtype=compute_dtype, grad_accum=args.grad_accum,
             zero1=args.zero1, spatial=args.spatial,
+            remat=args.remat,
         )
         warmup.fit(
             train_loader, val_loader, epochs=args.warmup_epochs,
@@ -353,7 +361,7 @@ def main(argv=None) -> None:
         out_dir=args.out_dir, log_dir=log_dir, targets=args.targets,
         num_devices=args.num_devices, compute_dtype=compute_dtype,
         grad_accum=args.grad_accum, zero1=args.zero1,
-        spatial=args.spatial,
+        spatial=args.spatial, remat=args.remat,
     )
     if resume_preempt:
         # A preemption checkpoint from a killed run: pick up where it

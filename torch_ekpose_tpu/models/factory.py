@@ -96,7 +96,7 @@ MODEL_REGISTRY = {
 
 def get_model(
     model_name: str = "vgg2016", dtype=jnp.float32, quantize: Any = False,
-    s2d_blocks: int = 0,
+    s2d_blocks: int = 0, remat: bool = False,
 ) -> OpenPose:
     """Build an OpenPose network by name.
 
@@ -114,6 +114,12 @@ def get_model(
     integer pipeline (identical param tree, deferred dequantization) —
     measured SLOWER than "static" on v5e, kept as a tested negative
     result (docs/PERF.md).
+
+    ``remat=True`` wraps the backbone and each CPM branch in
+    ``jax.checkpoint`` (gradient rematerialization: the backward pass
+    recomputes those activations instead of keeping them in HBM).
+    Identical param tree and exact same gradients — a training-memory
+    knob only (``cli.train --remat``; measured in docs/PERF.md).
     """
     try:
         builder = MODEL_REGISTRY[model_name]
@@ -135,6 +141,9 @@ def get_model(
             raise ValueError(
                 "s2d_blocks is incompatible with the int8 serving modes"
             )
+        if remat:
+            # remat is a training knob, the int8 modes are serving-only
+            raise ValueError("remat does not apply to the int8 modes")
         return builder(dtype, quantize=quantize)
     if s2d_blocks:
         if builder is not _vgg:
@@ -142,8 +151,14 @@ def get_model(
                 "s2d_blocks applies to the vgg family only "
                 f"(requested {model_name!r})"
             )
-        return builder(dtype, s2d_blocks=s2d_blocks)
-    return builder(dtype)
+        model = builder(dtype, s2d_blocks=s2d_blocks)
+    else:
+        model = builder(dtype)
+    if remat:
+        model = OpenPose(
+            backbone=model.backbone, head=model.head, remat=True
+        )
+    return model
 
 
 def cast_params(variables: Dict, dtype) -> Dict:

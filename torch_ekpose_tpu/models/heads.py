@@ -21,6 +21,7 @@ The forward contract matches the reference exactly: the network returns
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, List, Tuple
 
 import flax.linen as nn
@@ -33,6 +34,26 @@ from torch_ekpose_tpu.models.layers import (
     Dtype,
     final_layer_init,
 )
+
+
+def remat_ctor(ctor):
+    """Wrap a Module class (or a ``functools.partial`` of one) in
+    :func:`flax.linen.remat` so its forward activations are NOT saved
+    for the backward pass — the backward recomputes them from the
+    module's inputs (``jax.checkpoint``: trades ~1 extra forward of
+    FLOPs inside the wrapped scope for its activation HBM).
+
+    ``static_argnums=(2,)`` marks the ``train`` flag static (argument 0
+    is the module instance); every wrapped module here has the uniform
+    ``__call__(x, train=False)`` signature and must be CALLED with
+    ``train`` positional.
+    """
+    if isinstance(ctor, functools.partial):
+        return functools.partial(
+            nn.remat(ctor.func, static_argnums=(2,)),
+            *ctor.args, **ctor.keywords,
+        )
+    return nn.remat(ctor, static_argnums=(2,))
 
 
 class VggBranch(nn.Module):
@@ -116,39 +137,45 @@ class CpmHead(nn.Module):
     heatmap_channels: int = constants.NUM_HEATMAP_CHANNELS
     dtype: Dtype = jnp.float32
     quantize: Any = False  # int8 ("vgg" only): False|True|"static"|"folded"
+    #: rematerialize each branch in the backward pass (see `remat_ctor`):
+    #: only the 185-ch stage inputs and 38/19-ch outputs are saved; the
+    #: five 128-ch (or 512-ch) intra-branch maps recompute. Exact same
+    #: gradients, identical param tree.
+    remat: bool = False
 
     def _branch(self, out_channels: int, first_stage: bool, name: str):
         if self.branch == "vgg":
-            return VggBranch(
-                out_channels, first_stage=first_stage, dtype=self.dtype,
-                quantize=self.quantize, name=name,
-            )
-        if self.branch == "ds":
-            return DSBranch(
-                out_channels, first_stage=first_stage, width=self.width,
-                dtype=self.dtype, name=name,
-            )
-        raise ValueError(f"unknown branch flavor {self.branch!r}")
+            ctor, kwargs = VggBranch, dict(quantize=self.quantize)
+        elif self.branch == "ds":
+            ctor, kwargs = DSBranch, dict(width=self.width)
+        else:
+            raise ValueError(f"unknown branch flavor {self.branch!r}")
+        if self.remat:
+            ctor = remat_ctor(ctor)
+        return ctor(
+            out_channels, first_stage=first_stage, dtype=self.dtype,
+            name=name, **kwargs,
+        )
 
     @nn.compact
     def __call__(self, features, train: bool = False) -> List[Any]:
         saved_for_loss = []
         paf = self._branch(self.paf_channels, True, "model1_1")(
-            features, train=train
+            features, train
         )
         heatmap = self._branch(self.heatmap_channels, True, "model1_2")(
-            features, train=train
+            features, train
         )
         saved_for_loss += [paf, heatmap]
 
         x = jnp.concatenate([paf, heatmap, features], axis=-1)
         for stage in range(2, self.num_stages + 1):
             paf = self._branch(self.paf_channels, False, f"model{stage}_1")(
-                x, train=train
+                x, train
             )
             heatmap = self._branch(
                 self.heatmap_channels, False, f"model{stage}_2"
-            )(x, train=train)
+            )(x, train)
             saved_for_loss += [paf, heatmap]
             if stage < self.num_stages:
                 x = jnp.concatenate([paf, heatmap, features], axis=-1)
@@ -166,11 +193,22 @@ class OpenPose(nn.Module):
 
     backbone: Callable[..., nn.Module]
     head: Callable[..., nn.Module]
+    #: gradient rematerialization (``jax.checkpoint``): the whole
+    #: backbone recomputes in the backward pass (only the input image
+    #: and the 185-ch feature map are saved — the full-resolution
+    #: backbone activations, the bulk of a CNN's HBM, are not), and the
+    #: head remats per branch (``CpmHead.remat``). Exact gradients;
+    #: costs roughly one extra forward of FLOPs.
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x, train: bool = False
     ) -> Tuple[Tuple[Any, Any], List[Any]]:
-        features = self.backbone(name="model0")(x, train=train)
-        saved_for_loss = self.head(name="head")(features, train=train)
+        backbone, head = self.backbone, self.head
+        if self.remat:
+            backbone = remat_ctor(backbone)
+            head = functools.partial(head, remat=True)
+        features = backbone(name="model0")(x, train)
+        saved_for_loss = head(name="head")(features, train)
         return (saved_for_loss[-2], saved_for_loss[-1]), saved_for_loss

@@ -72,6 +72,7 @@ class Trainer:
         grad_accum: int = 1,
         zero1: bool = False,
         spatial: int = 1,
+        remat: bool = False,
     ):
         self.config = config or default_cfg
         tc = self.config.TRAIN
@@ -81,7 +82,11 @@ class Trainer:
         import jax.numpy as jnp
 
         dtype = compute_dtype or jnp.float32
-        self.model = get_model(model_name, dtype=dtype)
+        # remat: backward-pass rematerialization (jax.checkpoint) of the
+        # backbone + each CPM branch — exact gradients, activation HBM
+        # traded for ~one extra forward; the param tree is unchanged so
+        # checkpoints are interchangeable with the non-remat model
+        self.model = get_model(model_name, dtype=dtype, remat=remat)
         if variables is None:
             _, variables = init_model(
                 model_name,
