@@ -86,6 +86,25 @@ REGIMES = {
         n=20, sizes=[(368, 368), (416, 416), (512, 512)], people=(2, 4),
         band=(0.33, 0.60), seed=4444,
     ),
+    # round-5 photo-statistics regimes (renderer options in
+    # synthetic_coco.render_scene): where bottom-up decoders actually
+    # differ on real data — overlapping bodies and border-cropped people
+    # (reference lib/datasets/datasets.py:126-139, 199-229 exist to
+    # handle exactly these)
+    "occluded": dict(
+        n=20, sizes=[(368, 368), (416, 368)], people=(3, 6),
+        band=(0.34, 0.52), seed=5151,
+        render=dict(background="textured", occlusion=True,
+                    scale_strokes=True),
+    ),
+    "truncated": dict(
+        n=20,
+        # includes >= 2:1 aspect canvases (portrait and landscape)
+        sizes=[(368, 368), (256, 520), (520, 256), (240, 512)],
+        people=(1, 4), band=(0.36, 0.55), seed=6161,
+        render=dict(background="textured", truncate=True,
+                    scale_strokes=True),
+    ),
 }
 
 
@@ -317,6 +336,7 @@ def main():
             rdir, spec["n"], mode="val", seed=spec["seed"],
             sizes=spec["sizes"], min_people=spec["people"][0],
             max_people=spec["people"][1], post_resize_band=spec["band"],
+            **spec.get("render", {}),
         )
 
         t0 = time.time()
@@ -350,6 +370,7 @@ def main():
             "canvases": [f"{h}x{w}" for h, w in spec["sizes"]],
             "people": list(spec["people"]),
             "post_resize_scale_band": list(spec["band"]),
+            "render_options": spec.get("render", {}),
             "ap_ours": round(ap_ours, 4),
             "ap_reference": round(ap_ref, 4),
             "abs_delta": round(delta, 4),

@@ -133,6 +133,58 @@ def test_estimator_end_to_end_small():
     assert scale == scale2
 
 
+def test_estimator_precision_knob():
+    """--precision plumbing: 'highest' serves identical results to 'fast'
+    on CPU (where DEFAULT matmul precision is already exact f32 — the
+    knob only changes TPU MXU lowering, measured in PERF.md), both the
+    unfused and jax-decode paths run under it, and bad values are
+    rejected eagerly."""
+    from torch_ekpose_tpu.runtime.estimator import matmul_precision
+
+    with pytest.raises(ValueError):
+        matmul_precision("high")  # only fast|highest are the knob's API
+
+    _, variables = init_model("mobilenet_thin", input_shape=(1, 64, 64, 3))
+    img = (np.arange(100 * 80 * 3) % 255).reshape(100, 80, 3).astype(np.uint8)
+    outs = {}
+    for prec in ("fast", "highest"):
+        est = PoseEstimator(
+            "mobilenet_thin", variables=variables, decode_backend="jax",
+            dest_size=64, compute_dtype=jnp.float32, precision=prec,
+        )
+        pafs, heatmaps, _ = est.get_outputs(img)
+        humans, _ = est.estimate(img)  # jax decode path under the knob
+        outs[prec] = (pafs, heatmaps)
+    np.testing.assert_array_equal(outs["fast"][0], outs["highest"][0])
+    np.testing.assert_array_equal(outs["fast"][1], outs["highest"][1])
+
+    with pytest.raises(ValueError):
+        PoseEstimator("mobilenet_thin", variables=variables,
+                      precision="float64")
+
+
+def test_cli_precision_resolves_dtype():
+    """--precision highest flips the unset --dtype default to float32;
+    an explicit --dtype wins; int8+highest is rejected."""
+    import argparse
+
+    from torch_ekpose_tpu.cli import common
+
+    def parse(argv):
+        p = argparse.ArgumentParser()
+        common.add_model_args(p)
+        args = p.parse_args(argv)
+        common._resolve_dtype(args)
+        return args
+
+    assert parse([]).dtype == "bfloat16"
+    assert parse(["--precision", "highest"]).dtype == "float32"
+    assert parse(["--precision", "highest", "--dtype", "bfloat16"]
+                 ).dtype == "bfloat16"
+    with pytest.raises(SystemExit):
+        parse(["--precision", "highest", "--dtype", "int8"])
+
+
 def test_export_vgg_roundtrip(tmp_path):
     """convert -> export -> convert is the identity, and the .pth written
     by export loads back through the normal torch path."""

@@ -95,3 +95,73 @@ def test_internal_to_coco_order():
     np.testing.assert_array_equal(coco[0], internal[0])
     np.testing.assert_array_equal(coco[1], internal[15])
     np.testing.assert_array_equal(coco[5], internal[5])
+
+
+def test_render_scene_photo_statistics_options():
+    """Round-5 renderer options (textured background, occlusion
+    clustering, border truncation, scale-aware strokes): correct vis
+    semantics, and the DEFAULT path stays byte-identical (same rng
+    stream) so the committed parity artifacts remain reproducible."""
+    from torch_ekpose_tpu.data import synthetic_coco as sc
+
+    # default path unchanged: vis=2 everywhere, deterministic
+    a = sc.render_scene(np.random.default_rng(3), 2, 160, 160)
+    b = sc.render_scene(np.random.default_rng(3), 2, 160, 160)
+    np.testing.assert_array_equal(a[0], b[0])
+    assert set(a[1][:, :, 2].ravel()) == {2.0}
+
+    # truncation: out-of-frame joints are v=0 with zeroed coords; the
+    # torso stays inside so every person keeps labeled joints
+    img, kp = sc.render_scene(
+        np.random.default_rng(11), 4, 200, 420,
+        scale_range=(0.5, 0.7), truncate=True, background="textured",
+    )
+    assert img.shape == (200, 420, 3) and img.dtype == np.uint8
+    v0 = kp[:, :, 2] == 0
+    assert np.all(kp[v0] == 0.0)
+    for person in kp:
+        assert (person[:, 2] > 0).sum() >= 5  # torso-inside guarantee
+        lab = person[person[:, 2] > 0]
+        assert lab[:, 0].max() < 420 and lab[:, 1].max() < 200
+
+    # occlusion: overlapping bodies produce v=1 flags on overdrawn joints
+    found_v1 = False
+    for seed in range(20, 26):
+        _, kp = sc.render_scene(
+            np.random.default_rng(seed), 6, 368, 368,
+            scale_range=(0.35, 0.5), occlusion=True,
+        )
+        if (kp[:, :, 2] == 1).any():
+            found_v1 = True
+            break
+    assert found_v1, "occlusion clustering never produced a v=1 joint"
+
+    # scale_strokes keeps sub-40px people renderable: their joint colors
+    # survive at the joint pixel (a full-width stroke blob would overdraw)
+    img, kp = sc.render_scene(
+        np.random.default_rng(31), 1, 368, 368,
+        scale_range=(0.15, 0.15), scale_strokes=True,
+    )
+    person = kp[0]
+    hits = 0
+    for j in range(18):
+        x, y = int(round(person[j, 0])), int(round(person[j, 1]))
+        if tuple(int(c) for c in img[y, x]) == sc._joint_color(j):
+            hits += 1
+    assert hits >= 10, f"only {hits}/18 joints survive at small scale"
+
+
+def test_truncated_annotations_bbox_ignores_unlabeled():
+    """COCO rows for truncated people: bbox/area span labeled joints only
+    (v=0 joints sit at (0,0) and must not drag the box to the origin)."""
+    from torch_ekpose_tpu.data import synthetic_coco as sc
+
+    person = np.zeros((18, 3))
+    person[:, 0] = np.linspace(100, 140, 18)
+    person[:, 1] = np.linspace(50, 150, 18)
+    person[:, 2] = 2
+    person[0] = 0.0   # nose truncated out of frame
+    ann = sc._coco_annotation(1, 1, person)
+    x, y, w, h = ann["bbox"]
+    assert x > 50 and y > 20, "bbox was dragged toward the (0,0) corner"
+    assert ann["num_keypoints"] == 16  # 17 COCO joints minus the nose

@@ -88,14 +88,25 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         choices=["auto", "native", "numpy", "jax"],
     )
     parser.add_argument(
-        "--dtype", type=str, default="bfloat16",
+        "--dtype", type=str, default=None,
         choices=["bfloat16", "float32", "int8", "int8_static"],
-        help="activation compute dtype (params stay float32); int8 = "
+        help="activation compute dtype (default bfloat16, or float32 "
+        "under --precision highest; params stay float32); int8 = "
         "quantized serving mode (vgg family only: int8 weights + "
         "dynamic activation scales, bf16 elsewhere); int8_static = "
         "calibrated static activation scales (fastest batch-1 path; "
         "calibrates on the first frame unless the checkpoint was "
         "exported with cli.export --dtype int8_static)",
+    )
+    parser.add_argument(
+        "--precision", type=str, default="fast",
+        choices=["fast", "highest"],
+        help="conv/dot multiply precision on TPU: 'fast' keeps the MXU's "
+        "default bf16 multiplies (even for f32 operands); 'highest' maps "
+        "every conv/dot to jax.lax.Precision.HIGHEST (true f32 "
+        "multiplies, matching the reference's torch-CPU numerics) and "
+        "implies --dtype float32 unless set explicitly. PERF.md "
+        "'Serving numerics' has the measured AP/throughput trade",
     )
     parser.add_argument(
         "--platform", type=str, default="auto",
@@ -159,6 +170,30 @@ def load_variables(
     return load_checkpoint(ckpt, template)
 
 
+def _resolve_dtype(args) -> None:
+    """Resolve the --dtype default against --precision (idempotent).
+
+    ``--precision highest`` exists to reproduce the reference's
+    torch-CPU f32 numerics on the TPU serving platform
+    (reference lib/evaluate/estimator.py:71-88) — true-f32 multiplies
+    require f32 operands, so it flips the unset dtype default to
+    float32. An explicit --dtype always wins; int8 + highest is a
+    contradiction (int8 MXU passes are not f32) and is rejected.
+    """
+    if getattr(args, "dtype", None) is None:
+        args.dtype = (
+            "float32"
+            if getattr(args, "precision", "fast") == "highest"
+            else "bfloat16"
+        )
+    if getattr(args, "precision", "fast") == "highest" \
+            and args.dtype in ("int8", "int8_static"):
+        raise SystemExit(
+            "--precision highest (true-f32 multiplies) cannot combine "
+            f"with --dtype {args.dtype}; drop one of the two flags"
+        )
+
+
 def _compute_dtype(name: str):
     """--dtype string -> PoseEstimator compute_dtype ("int8" and
     "int8_static" pass through as quantized-mode sentinels)."""
@@ -191,6 +226,7 @@ def build_model_and_variables(args):
     the mesh-sharded CLI paths that build their own estimator."""
     from torch_ekpose_tpu.models import get_model, quantize_variables
 
+    _resolve_dtype(args)
     apply_platform(getattr(args, "platform", "auto"))
     enable_compilation_cache(getattr(args, "compilation_cache", None))
     report_devices()
@@ -226,6 +262,7 @@ def build_model_and_variables(args):
 def build_estimator(
     args: argparse.Namespace, config: Optional[Config] = None
 ) -> PoseEstimator:
+    _resolve_dtype(args)
     apply_platform(getattr(args, "platform", "auto"))
     enable_compilation_cache(getattr(args, "compilation_cache", None))
     report_devices()
@@ -239,4 +276,5 @@ def build_estimator(
         compute_dtype=_compute_dtype(args.dtype),
         dest_size=getattr(args, "dest_size", 368),
         s2d_blocks=getattr(args, "s2d_blocks", 0),
+        precision=getattr(args, "precision", "fast"),
     )

@@ -69,6 +69,7 @@ def main(argv=None) -> None:
             mesh=make_mesh(args.num_devices),
             preprocess=args.preprocess,
             dest_size=args.dest_size,
+            precision=args.precision,
         )
     else:
         estimator = common.build_estimator(args)

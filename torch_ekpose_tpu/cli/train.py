@@ -151,6 +151,52 @@ def main(argv=None) -> None:
             args.coordinator, args.num_processes, args.process_id
         )
 
+    # mesh/batch shape validation up front — BEFORE datasets load or the
+    # log dir appears, so a bad flag combination fails in milliseconds
+    # with the fix spelled out (not as an opaque sharding error after a
+    # multi-minute dataset scan)
+    import jax
+
+    n_proc = jax.process_count()
+    n_dev = args.num_devices or jax.device_count()
+    if args.spatial > 1 and n_dev % args.spatial:
+        raise SystemExit(
+            f"--spatial {args.spatial} must divide the "
+            f"{n_dev}-device mesh"
+        )
+    if args.spatial > 1:
+        # host-side device_put shards concrete arrays, which (unlike
+        # GSPMD inside jit) requires EXACT divisibility — catch it here
+        # instead of crashing later in an opaque jax ValueError mid-epoch
+        stride = get_default_config().MODEL.DOWNSAMPLE  # grids: size//8
+        if args.square_size % args.spatial:
+            raise SystemExit(
+                f"--spatial {args.spatial} must divide --square_size "
+                f"{args.square_size}: input images are sharded along "
+                "H on the spatial mesh axis"
+            )
+        if args.targets == "host" \
+                and (args.square_size // stride) % args.spatial:
+            raise SystemExit(
+                f"--spatial {args.spatial} must divide the "
+                f"{args.square_size // stride}-row target grids "
+                f"(--square_size {args.square_size} / stride "
+                f"{stride}) under --targets host, whose heat/paf "
+                "batches are sharded spatially from the host; use "
+                "--targets device (grids are built under GSPMD "
+                "inside jit) or a spatial factor dividing "
+                f"{args.square_size // stride}"
+            )
+    dp = n_dev // max(args.spatial, 1)
+    if args.batch_size % max(dp, 1):
+        # the data sharding splits the batch axis across the mesh's
+        # data axis, so process-count divisibility alone is not enough
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must divide evenly "
+            f"across the {dp}-way data axis of the {n_dev}-device "
+            f"mesh ({n_proc} processes)"
+        )
+
     stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     log_dir = os.path.join(args.logdir, stamp)
     os.makedirs(log_dir, exist_ok=True)
@@ -206,29 +252,26 @@ def main(argv=None) -> None:
                     build_raw_cache(ds, args.raw_cache, progress=True)
                 else:
                     # multi-host on a shared filesystem: process 0 builds
+                    # (meta sidecar lands last, so cache_exists flips only
+                    # on a COMPLETE build). Bounded wait: if the builder
+                    # died mid-build the sidecar never appears and an
+                    # unbounded poll would hang every other host silently.
                     import time as _time
 
+                    deadline = _time.monotonic() + 30 * 60
                     while not cache_exists(args.raw_cache):
+                        if _time.monotonic() > deadline:
+                            raise SystemExit(
+                                f"process {_jax.process_index()}: raw "
+                                f"cache {args.raw_cache!r} still absent "
+                                "after 30 min — process 0 (the builder) "
+                                "likely died mid-build; check its log, "
+                                "delete any partial cache files, and "
+                                "restart"
+                            )
                         _time.sleep(2.0)
             ds = RawArrayDataset(args.raw_cache)
-        import jax
-
-        n_proc = jax.process_count()
-        n_dev = args.num_devices or jax.device_count()
-        if args.spatial > 1 and n_dev % args.spatial:
-            raise SystemExit(
-                f"--spatial {args.spatial} must divide the "
-                f"{n_dev}-device mesh"
-            )
-        dp = n_dev // max(args.spatial, 1)
-        if args.batch_size % max(dp, 1):
-            # the data sharding splits the batch axis across the mesh's
-            # data axis, so process-count divisibility alone is not enough
-            raise SystemExit(
-                f"--batch_size {args.batch_size} must divide evenly "
-                f"across the {dp}-way data axis of the {n_dev}-device "
-                f"mesh ({n_proc} processes)"
-            )
+        # mesh/batch divisibility was validated up front in main()
         # each process loads its strided shard of the dataset and feeds
         # its slice of the global batch (shard_batch assembles the rest)
         return BatchLoader(

@@ -192,11 +192,20 @@ def _prefetch_read(iterator, image_dir, coco, dest_size, stride, depth):
     serializing with them; with spare cores they overlap everything.
     Order is preserved (single reader thread, FIFO queue), so result
     rows are identical to the synchronous read.
+
+    A tqdm-wrapped ``iterator`` is unwrapped: the reader thread consumes
+    the raw id list and the bar ticks here in the consumer as items are
+    actually yielded — otherwise the bar would run ``depth`` images
+    ahead of real progress and update from off the main thread.
     """
     import queue
     import threading
 
     from torch_ekpose_tpu.runtime.estimator import padding
+
+    bar = None
+    if hasattr(iterator, "iterable") and hasattr(iterator, "update"):
+        bar, iterator = iterator, iterator.iterable
 
     q: "queue.Queue" = queue.Queue(maxsize=max(2, depth))
     stop = threading.Event()
@@ -242,8 +251,12 @@ def _prefetch_read(iterator, image_dir, coco, dest_size, stride, depth):
                     raise item[1]
                 break
             yield item
+            if bar is not None:
+                bar.update(1)
     finally:
         stop.set()
+        if bar is not None:
+            bar.close()
 
 
 def _run_eval_batched(

@@ -57,12 +57,19 @@ class ShardedPoseEstimator:
         config: Optional[Config] = None,
         preprocess: str = "vgg",
         dest_size: int = 368,
+        precision: str = "fast",
     ):
+        from torch_ekpose_tpu.runtime.estimator import matmul_precision
+
+        matmul_precision(precision)  # validate eagerly
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.config = config or default_cfg
         self.preprocess = preprocess
         self.dest_size = dest_size
+        #: "fast" or "highest" — same serving-precision knob as
+        #: PoseEstimator (runtime/estimator.py::matmul_precision)
+        self.precision = precision
         self._replicated = replicated(self.mesh)
         self._data = data_sharding(self.mesh)
         self.variables = jax.device_put(variables, self._replicated)
@@ -77,10 +84,14 @@ class ShardedPoseEstimator:
         # into one program makes XLA's optimization passes take minutes;
         # see PoseEstimator._batch_decoder)
         if not self._cache:
-            from torch_ekpose_tpu.runtime.estimator import preprocess_jax
+            from torch_ekpose_tpu.runtime.estimator import (
+                matmul_precision,
+                preprocess_jax,
+            )
 
             mode = self.preprocess
             model = self.model
+            precision = self.precision
             compute_dtype = infer_compute_dtype(self.variables["params"])
 
             @functools.partial(
@@ -92,19 +103,23 @@ class ShardedPoseEstimator:
                 out_shardings=self._data,
             )
             def forward(variables, images):
-                x = jax.vmap(
-                    lambda im: preprocess_jax(im, mode)
-                )(images).astype(compute_dtype)
-                (paf, heatmap), _ = model.apply(variables, x, train=False)
-                return (
-                    paf.astype(jnp.float32), heatmap.astype(jnp.float32),
-                )
+                with matmul_precision(precision):
+                    x = jax.vmap(
+                        lambda im: preprocess_jax(im, mode)
+                    )(images).astype(compute_dtype)
+                    (paf, heatmap), _ = model.apply(
+                        variables, x, train=False
+                    )
+                    return (
+                        paf.astype(jnp.float32),
+                        heatmap.astype(jnp.float32),
+                    )
 
             # the shared packed batch decoder, re-jitted with shardings so
             # each chip decodes its own shard and the host fetches once.
             # Pallas loop kernels only on a 1-chip mesh: XLA cannot infer
             # shardings for Pallas custom calls when partitioning.
-            decode = jax.jit(
+            decode_jit = jax.jit(
                 decode_device.build_packed_decoder(
                     self.config, batched=True,
                     pallas=self.mesh.size == 1,
@@ -112,6 +127,11 @@ class ShardedPoseEstimator:
                 in_shardings=self._data,
                 out_shardings=self._data,
             )
+
+            def decode(heatmap, paf):
+                with matmul_precision(precision):
+                    return decode_jit(heatmap, paf)
+
             self._cache = {"forward": forward, "decode": decode}
         return self._cache["forward"], self._cache["decode"]
 

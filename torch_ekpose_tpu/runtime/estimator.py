@@ -21,6 +21,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -42,7 +43,32 @@ from torch_ekpose_tpu.models import (
 from torch_ekpose_tpu.ops.resize import resize_image_np
 from torch_ekpose_tpu.utils.human import Human
 
-__all__ = ["padding", "preprocess_jax", "PoseEstimator"]
+__all__ = ["padding", "preprocess_jax", "matmul_precision", "PoseEstimator"]
+
+
+def matmul_precision(precision: str):
+    """Context manager mapping the serving precision knob onto XLA.
+
+    TPU MXUs multiply in bfloat16 even for float32 operands at the
+    DEFAULT precision — fast, but it makes every conv/dot carry ~3e-3
+    relative noise, which is where the measured config-to-config AP
+    spread on the serving platform came from (PERF.md "Serving
+    numerics"). ``"highest"`` traces every conv/dot at
+    ``jax.lax.Precision.HIGHEST`` (multi-pass true-f32 multiplies on the
+    MXU), restoring CPU-grade determinism; ``"fast"`` keeps the default.
+    The reference's torch-CPU forward is always full f32
+    (reference lib/evaluate/estimator.py:71-88), so ``highest`` is the
+    mode whose numbers transfer 1:1 to the CPU parity gates.
+
+    The jax config var participates in jit cache keys, so wrapping a
+    call site of an already-jitted function is sufficient and caches
+    correctly per precision.
+    """
+    if precision == "highest":
+        return jax.default_matmul_precision("highest")
+    if precision != "fast":
+        raise ValueError(f"precision must be 'fast' or 'highest', got {precision!r}")
+    return contextlib.nullcontext()
 
 
 def _factor_closest(num: float, factor: int, is_ceil: bool = True) -> int:
@@ -126,12 +152,18 @@ class PoseEstimator:
         compute_dtype=jnp.bfloat16,
         fuse_decode: bool = True,
         s2d_blocks: int = 0,
+        precision: str = "fast",
     ):
         self.config = config or default_cfg
         self.model_name = model_name
         self.preprocess = preprocess
         self.decode_backend = decode_backend
         self.dest_size = dest_size
+        #: "fast" (default MXU precision) or "highest" (true-f32 conv/dot
+        #: multiplies — see matmul_precision). "highest" only changes
+        #: numerics when compute_dtype is float32.
+        matmul_precision(precision)  # validate eagerly
+        self.precision = precision
         self._needs_calib = False
         self._calib_model = None
         if compute_dtype in ("int8", "int8_static"):
@@ -248,14 +280,15 @@ class PoseEstimator:
 
             @jax.jit
             def fwd(variables, image):
-                x = preprocess_jax(image, mode)[None]
-                (paf, heatmap), _ = self.model.apply(
-                    variables, x, train=False
-                )
-                return (
-                    paf[0].astype(jnp.float32),
-                    heatmap[0].astype(jnp.float32),
-                )
+                with matmul_precision(self.precision):
+                    x = preprocess_jax(image, mode)[None]
+                    (paf, heatmap), _ = self.model.apply(
+                        variables, x, train=False
+                    )
+                    return (
+                        paf[0].astype(jnp.float32),
+                        heatmap[0].astype(jnp.float32),
+                    )
 
             self._forward_cache[key] = fwd
         return self._forward_cache[key]
@@ -268,14 +301,15 @@ class PoseEstimator:
 
             @jax.jit
             def fused(variables, image):
-                x = preprocess_jax(image, mode)[None]
-                (paf, heatmap), _ = self.model.apply(
-                    variables, x, train=False
-                )
-                paf = paf[0].astype(jnp.float32)
-                heatmap = heatmap[0].astype(jnp.float32)
-                # packed: ONE host fetch per frame instead of five
-                return decode_device.pack_result(decoder(heatmap, paf))
+                with matmul_precision(self.precision):
+                    x = preprocess_jax(image, mode)[None]
+                    (paf, heatmap), _ = self.model.apply(
+                        variables, x, train=False
+                    )
+                    paf = paf[0].astype(jnp.float32)
+                    heatmap = heatmap[0].astype(jnp.float32)
+                    # packed: ONE host fetch per frame instead of five
+                    return decode_device.pack_result(decoder(heatmap, paf))
 
             self._fused_cache[key] = fused
         return self._fused_cache[key]
@@ -287,9 +321,17 @@ class PoseEstimator:
         # chaining costs almost nothing — the paf/heatmap buffers pass
         # device-to-device
         if self._vmapped_decoder is None:
-            self._vmapped_decoder = decode_device.build_packed_decoder(
+            raw = decode_device.build_packed_decoder(
                 self.config, batched=True
             )
+            # call-site precision wrap: the config var participates in
+            # jit cache keys, so this traces (and caches) the decoder's
+            # one-hot contractions at the requested precision
+            def dec(heatmap, paf, _raw=raw, _p=self.precision):
+                with matmul_precision(_p):
+                    return _raw(heatmap, paf)
+
+            self._vmapped_decoder = dec
         return self._vmapped_decoder
 
     def _batch_forward_fn(self, h: int, w: int):
@@ -299,13 +341,17 @@ class PoseEstimator:
 
             @jax.jit
             def fwd(variables, images):
-                x = jax.vmap(lambda im: preprocess_jax(im, mode))(images)
-                (paf, heatmap), _ = self.model.apply(
-                    variables, x, train=False
-                )
-                return (
-                    paf.astype(jnp.float32), heatmap.astype(jnp.float32),
-                )
+                with matmul_precision(self.precision):
+                    x = jax.vmap(
+                        lambda im: preprocess_jax(im, mode)
+                    )(images)
+                    (paf, heatmap), _ = self.model.apply(
+                        variables, x, train=False
+                    )
+                    return (
+                        paf.astype(jnp.float32),
+                        heatmap.astype(jnp.float32),
+                    )
 
             self._forward_cache[key] = fwd
         return self._forward_cache[key]
@@ -386,9 +432,13 @@ class PoseEstimator:
                 fwd = self._forward_fn(*im_pad.shape[:2])
                 paf, heatmap = fwd(self.variables, jnp.asarray(im_pad))
                 if self._decoder is None:
-                    self._decoder = decode_device.build_packed_decoder(
-                        self.config
-                    )
+                    raw = decode_device.build_packed_decoder(self.config)
+
+                    def dec(hm, pf, _raw=raw, _p=self.precision):
+                        with matmul_precision(_p):
+                            return _raw(hm, pf)
+
+                    self._decoder = dec
                 packed = self._decoder(heatmap, paf)
             humans = decode_device.packed_to_humans(
                 jax.device_get(packed), im_pad.shape[0], im_pad.shape[1],
