@@ -45,6 +45,18 @@ def main():
     ap.add_argument("--max-people", type=int, default=12)
     ap.add_argument("--workdir", default="/tmp/crowdval")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="our stack's compute dtype (round 4 ran the "
+                    "default bf16; the isolation matrix runs f32)")
+    ap.add_argument("--precision", default="fast",
+                    choices=["fast", "highest"],
+                    help="conv/dot multiply precision for our stack "
+                    "(runtime/estimator.py::matmul_precision)")
+    ap.add_argument("--skip-reference", action="store_true",
+                    help="reuse results_reference.json from a previous "
+                    "run on the same workdir (the torch-CPU reference "
+                    "pass is config-independent)")
     ap.add_argument("--out", default="CROWD_CHECK.json")
     args = ap.parse_args()
 
@@ -100,11 +112,17 @@ def main():
     state = {k[len("module."):]: v.numpy() for k, v in state.items()}
     variables = convert_torch_checkpoint(state, "vgg2016")
 
+    import jax.numpy as jnp
+
+    compute_dtype = (
+        jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    )
     results = {}
     for backend in ("jax", "numpy"):
         decode_device._saturation_warned.clear()
         est = PoseEstimator(
-            "vgg2016", variables=variables, decode_backend=backend
+            "vgg2016", variables=variables, decode_backend=backend,
+            compute_dtype=compute_dtype, precision=args.precision,
         )
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
@@ -127,19 +145,27 @@ def main():
         print(backend, results[backend], flush=True)
 
     # ---- the executed reference stack on the same scenes ----------------
-    import refstack
     from trained_parity import detection_agreement, run_reference_eval
 
-    tmp = tempfile.mkdtemp(prefix="refpaf_")
-    pafprocess = refstack.build_reference_pafprocess(tmp)
-    ref_estimator, ref_vgg2016, _ = refstack.import_reference_modules(
-        pafprocess
-    )
-    ref_eval = refstack.import_reference_eval()
-    ref_rows = run_reference_eval(
-        ref_eval, ref_estimator, ref_vgg2016, args.ckpt,
-        image_dir, anno_file, args.workdir,
-    )
+    ref_json = os.path.join(args.workdir, "results_reference.json")
+    if args.skip_reference and os.path.isfile(ref_json):
+        with open(ref_json) as f:
+            ref_rows = json.load(f)
+    else:
+        import refstack
+
+        tmp = tempfile.mkdtemp(prefix="refpaf_")
+        pafprocess = refstack.build_reference_pafprocess(tmp)
+        ref_estimator, ref_vgg2016, _ = refstack.import_reference_modules(
+            pafprocess
+        )
+        ref_eval = refstack.import_reference_eval()
+        ref_rows = run_reference_eval(
+            ref_eval, ref_estimator, ref_vgg2016, args.ckpt,
+            image_dir, anno_file, args.workdir,
+        )
+        with open(ref_json, "w") as f:
+            json.dump(ref_rows, f)
     img_ids = [im["id"] for im in images]
     ap_ref = evaluator.eval_coco(ref_rows, anno_file, img_ids)
     with open(os.path.join(args.workdir, "results_numpy.json")) as f:
@@ -158,6 +184,8 @@ def main():
 
     out = {
         "backend": jax.default_backend(),
+        "dtype": args.dtype,
+        "precision": args.precision,
         "setup": f"{args.images} rendered scenes, "
                  f"{args.min_people}-{args.max_people} people each, "
                  "trained-parity weights; device decode (capped 32 "

@@ -76,17 +76,27 @@ def main():
         variables = None
         weights = "random init (trained ckpt absent; decode load lighter)"
 
+    # the four round-4 configs at the default ("fast": MXU bf16
+    # multiplies even for f32 operands) AND the same sweep at
+    # --precision highest (true-f32 multiplies): round 4 measured a
+    # config-to-config AP spread of 0.008 at fast — highest is the knob
+    # that makes TPU serving numerics transfer to the CPU parity gates
     configs = [
-        ("batch1_host", "native", 1),
-        ("batch1_jax", "jax", 1),
-        ("batch8_jax", "jax", 8),
-        ("batch16_jax", "jax", 16),
+        ("batch1_host", "native", 1, "fast"),
+        ("batch1_jax", "jax", 1, "fast"),
+        ("batch8_jax", "jax", 8, "fast"),
+        ("batch16_jax", "jax", 16, "fast"),
+        ("batch1_host_highest", "native", 1, "highest"),
+        ("batch1_jax_highest", "jax", 1, "highest"),
+        ("batch8_jax_highest", "jax", 8, "highest"),
+        ("batch16_jax_highest", "jax", 16, "highest"),
     ]
     results = {}
-    for name, backend, batch in configs:
+    for name, backend, batch, precision in configs:
         est = PoseEstimator(
             "vgg2016", variables=variables, decode_backend=backend,
             dest_size=args.size, compute_dtype=jnp.float32,
+            precision=precision,
         )
         t0 = time.perf_counter()
         ap_first = run_eval(
@@ -102,6 +112,7 @@ def main():
         t_steady = time.perf_counter() - t0
         results[name] = {
             "ap": round(ap_steady, 4),
+            "precision": precision,
             "first_pass_s": round(t_first, 2),
             "steady_s": round(t_steady, 2),
             "img_per_s_steady": round(args.images / t_steady, 1),
@@ -111,6 +122,17 @@ def main():
         del est
 
     aps = {r["ap"] for r in results.values()}
+    aps_fast = {r["ap"] for r in results.values()
+                if r["precision"] == "fast"}
+    aps_highest = {r["ap"] for r in results.values()
+                   if r["precision"] == "highest"}
+    fps_cost = {
+        b: round(
+            results[f"batch{b}_jax"]["img_per_s_steady"]
+            / results[f"batch{b}_jax_highest"]["img_per_s_steady"], 3)
+        for b in (1, 8, 16)
+        if f"batch{b}_jax_highest" in results
+    }
     out = {
         "backend": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
@@ -119,6 +141,9 @@ def main():
                    "(synthetic_coco), scoring included in every timing",
         "results": results,
         "ap_identical_across_configs": len(aps) == 1,
+        "ap_identical_at_fast": len(aps_fast) == 1,
+        "ap_identical_at_highest": len(aps_highest) == 1,
+        "highest_fps_cost_factor_by_batch": fps_cost,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

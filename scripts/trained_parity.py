@@ -164,9 +164,17 @@ def make_batch(rng, ref_preprocessing, batch: int, size: int):
     grid = size // 8
     ims, heats, pafs = [], [], []
     for _ in range(batch):
+        # round 5: mix the photo-statistics renderer options into
+        # training so the occluded/truncated val regimes are scored by a
+        # model that has seen clutter, overlap, and border crops (the
+        # reference trains on real COCO, which has all of these)
         image, kpts = render_scene(
             rng, int(rng.integers(1, 3)), size, size,
             scale_range=SCALE_RANGE,
+            background="textured" if rng.uniform() < 0.4 else "plain",
+            occlusion=bool(rng.uniform() < 0.3),
+            truncate=bool(rng.uniform() < 0.25),
+            scale_strokes=bool(rng.uniform() < 0.5),
         )
         heat, paf = gen_targets_np(kpts, grid, grid, 8, 7.0)
         ims.append(ref_preprocessing.vgg_preprocess(image))  # [3, H, W]

@@ -148,7 +148,14 @@ class ShardedPoseEstimator:
         forward, decode = self._programs()
         images = jax.device_put(jnp.asarray(images), self._data)
         paf, heatmap = forward(self.variables, images)
-        return decode(heatmap, paf), (h, w)
+        packed = decode(heatmap, paf)
+        # enqueue the device->host DMA behind the decode now so later
+        # batches' compute overlaps this batch's readback (see
+        # PoseEstimator.estimate_batch_async)
+        for leaf in jax.tree.leaves(packed):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return packed, (h, w)
 
     def collect_batch(self, handle) -> List[List[Human]]:
         """Fetch one dispatched batch's packed decode results."""

@@ -389,7 +389,17 @@ class PoseEstimator:
         b, h, w = images.shape[:3]
         fwd = self._batch_forward_fn(h, w)
         paf, heatmap = fwd(self.variables, jnp.asarray(images))
-        return self._batch_decoder()(heatmap, paf), b, h, w
+        packed = self._batch_decoder()(heatmap, paf)
+        # start the device->host DMA for every result leaf NOW (it
+        # enqueues behind the decode, non-blocking): by the time
+        # collect_batch runs, later batches' compute has overlapped this
+        # batch's readback instead of serializing behind it — on a
+        # high-latency device link this is most of the eval-loop gap to
+        # the streaming bench (PERF.md "Eval loop decomposition")
+        for leaf in jax.tree.leaves(packed):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return packed, b, h, w
 
     def collect_batch(self, handle) -> List[List[Human]]:
         """Block on a handle from ``estimate_batch_async`` and convert to
