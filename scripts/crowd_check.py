@@ -53,6 +53,9 @@ def main():
                     choices=["fast", "highest"],
                     help="conv/dot multiply precision for our stack "
                     "(runtime/estimator.py::matmul_precision)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for per-config results_*.json filenames "
+                    "so an isolation matrix can diff rows across configs")
     ap.add_argument("--skip-reference", action="store_true",
                     help="reuse results_reference.json from a previous "
                     "run on the same workdir (the torch-CPU reference "
@@ -117,6 +120,7 @@ def main():
     compute_dtype = (
         jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     )
+    tag = f"_{args.tag}" if args.tag else ""
     results = {}
     for backend in ("jax", "numpy"):
         decode_device._saturation_warned.clear()
@@ -129,10 +133,10 @@ def main():
             ap_val = evaluator.run_eval(
                 image_dir, anno_file, est, progress=False,
                 results_json=os.path.join(
-                    args.workdir, f"results_{backend}.json"),
+                    args.workdir, f"results_{backend}{tag}.json"),
             )
         with open(os.path.join(
-                args.workdir, f"results_{backend}.json")) as f:
+                args.workdir, f"results_{backend}{tag}.json")) as f:
             rows = json.load(f)
         results[backend] = {
             "ap": round(float(ap_val), 4),
@@ -168,9 +172,11 @@ def main():
             json.dump(ref_rows, f)
     img_ids = [im["id"] for im in images]
     ap_ref = evaluator.eval_coco(ref_rows, anno_file, img_ids)
-    with open(os.path.join(args.workdir, "results_numpy.json")) as f:
+    with open(os.path.join(
+            args.workdir, f"results_numpy{tag}.json")) as f:
         oracle_rows = json.load(f)
-    with open(os.path.join(args.workdir, "results_jax.json")) as f:
+    with open(os.path.join(
+            args.workdir, f"results_jax{tag}.json")) as f:
         device_rows = json.load(f)
     results["reference"] = {
         "ap": round(float(ap_ref), 4),

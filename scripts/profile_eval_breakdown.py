@@ -45,10 +45,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--size", type=int, default=368)
     ap.add_argument("--ckpt", default="/tmp/synparity/trained_ref.pth")
-    ap.add_argument("--link-mbps", type=float, default=25.0,
-                    help="assumed device-link bandwidth for the floor "
-                    "estimate (the axon tunnel measures ~25 MB/s)")
-    ap.add_argument("--rtt-ms", type=float, default=35.0)
+    ap.add_argument("--link-probe-mb", type=float, default=8.0,
+                    help="size of the direct link-bandwidth probe")
     ap.add_argument("--out", default="EVAL_BREAKDOWN.json")
     args = ap.parse_args()
 
@@ -97,6 +95,29 @@ def main():
     bytes_up = bytes_down = 0
     rows = []
 
+    # ---- direct link measurement (same-process, same tunnel state) -----
+    mb = 1024 * 1024
+    probe = np.zeros((int(args.link_probe_mb * mb // 4),), np.float32)
+    dev_probe = jax.block_until_ready(jnp.asarray(probe))  # warm path
+    t0 = time.perf_counter()
+    dev_probe = jax.block_until_ready(jnp.asarray(probe + 1))
+    up_s = time.perf_counter() - t0
+    dev_probe.copy_to_host_async()
+    t0 = time.perf_counter()
+    jax.device_get(dev_probe)
+    down_s = time.perf_counter() - t0
+    tiny = jax.block_until_ready(jnp.zeros(()))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.device_get(tiny)
+    rtt_s = (time.perf_counter() - t0) / 5
+    link = {
+        "upload_mb_s": round(probe.nbytes / mb / up_s, 1),
+        "download_mb_s": round(probe.nbytes / mb / down_s, 1),
+        "rtt_ms": round(rtt_s * 1000, 1),
+    }
+    print("link:", json.dumps(link), flush=True)
+
     # warmup: compile both executables once outside the timed loop
     info = coco.loadImgs(img_ids[0])[0]
     img0 = evaluator.read_image_bgr(os.path.join(image_dir, info["file_name"]))
@@ -133,6 +154,13 @@ def main():
         jax.block_until_ready(packed)
         t4 = time.perf_counter(); stages["decode"] += t4 - t3
 
+        # pre-staged fetch (copy_to_host_async then device_get) — the
+        # efficient-but-unoverlapped transfer. A NAIVE device_get on the
+        # same result measures ~2 orders of magnitude slower through the
+        # tunnel (tiny-chunk fetch); measured once below as a footnote.
+        for leaf in jax.tree.leaves(packed):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         host = jax.device_get(packed)
         bytes_down += sum(leaf.nbytes for leaf in jax.tree.leaves(host))
         t5 = time.perf_counter(); stages["fetch"] += t5 - t4
@@ -149,6 +177,14 @@ def main():
     ap_serial = evaluator.eval_coco(rows, anno_file, img_ids[: n_batches * args.batch])
     scoring_s = time.perf_counter() - t0
 
+    # footnote: one NAIVE device_get (no pre-staging) on a fresh result
+    paf, heat = fwd(est.variables, jnp.asarray(np.stack([pad0] * args.batch)))
+    packed = dec(heat, paf)
+    jax.block_until_ready(packed)
+    t0 = time.perf_counter()
+    jax.device_get(packed)
+    naive_fetch_s = time.perf_counter() - t0
+
     serial_total = sum(stages.values()) + scoring_s
     per_batch = {k: round(v / n_batches, 4) for k, v in stages.items()}
     per_batch["scoring_total_s"] = round(scoring_s, 3)
@@ -161,11 +197,11 @@ def main():
                        progress=False, batch_size=args.batch)
     pipe_s = time.perf_counter() - t0
 
-    # ---- device-link floor ----------------------------------------------
-    mb = 1024 * 1024
+    # ---- device-link floor (from the MEASURED link, same process) -------
     floor_s_per_batch = (
-        (bytes_up + bytes_down) / n_batches / (args.link_mbps * mb)
-        + 2 * args.rtt_ms / 1000.0  # one upload + one fetch round trip
+        bytes_up / n_batches / (link["upload_mb_s"] * mb)
+        + bytes_down / n_batches / (link["download_mb_s"] * mb)
+        + 2 * link["rtt_ms"] / 1000.0  # one upload + one fetch round trip
     )
 
     out = {
@@ -190,12 +226,12 @@ def main():
             "img_per_s": round(args.images / pipe_s, 1),
             "ap": round(float(ap_pipe), 4),
         },
+        "link_measured": link,
         "link_floor": {
-            "assumed_bandwidth_mb_s": args.link_mbps,
-            "assumed_rtt_ms": args.rtt_ms,
             "floor_s_per_batch": round(floor_s_per_batch, 4),
             "floor_img_per_s": round(args.batch / floor_s_per_batch, 1),
         },
+        "naive_device_get_s_per_batch": round(naive_fetch_s, 2),
         "overlap_win_s_per_batch": round(
             serial_total / n_batches - pipe_s / (args.images / args.batch),
             4),
