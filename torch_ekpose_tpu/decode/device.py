@@ -854,6 +854,8 @@ def paf_to_pose_jax(
     config = config or default_cfg
     decoder = build_decoder(config)
     packed = pack_result(decoder(jnp.asarray(heatmaps), jnp.asarray(pafs)))
+    if hasattr(packed, "copy_to_host_async"):
+        packed.copy_to_host_async()  # bulk fetch path (EVAL_BREAKDOWN)
     result = unpack_result(
         jax.device_get(packed),
         config.DECODE.max_peaks_per_part,

@@ -141,6 +141,9 @@ class SpatialPoseEstimator:
         forward = self._forward_fn(h, w)
         x = jax.device_put(jnp.asarray(im_pad)[None], self._spatial)
         paf, heatmap = forward(self.variables, x)
-        packed = jax.device_get(self._decode(heatmap, paf))
+        packed = self._decode(heatmap, paf)
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()  # bulk fetch path (EVAL_BREAKDOWN)
+        packed = jax.device_get(packed)
         humans = decode_device.packed_to_humans(packed, h, w, self.config)
         return humans, im_scale

@@ -231,7 +231,11 @@ class AotPipeline:
     def estimate_batch(self, images: np.ndarray) -> List[List]:
         from torch_ekpose_tpu.decode import device as decode_device
 
-        packed = jax.device_get(self.packed(images))
+        packed = self.packed(images)
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()  # bulk path; naive device_get is
+            # ~100x slower through a high-latency link (EVAL_BREAKDOWN)
+        packed = jax.device_get(packed)
         m = self.meta
         return [
             decode_device.packed_to_humans(

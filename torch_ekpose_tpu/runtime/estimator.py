@@ -450,6 +450,12 @@ class PoseEstimator:
 
                     self._decoder = dec
                 packed = self._decoder(heatmap, paf)
+            # pre-stage the fetch: copy_to_host_async rides the bulk
+            # transfer path; a naive device_get on a packed result
+            # measured ~2 orders of magnitude slower through a
+            # high-latency device link (EVAL_BREAKDOWN.json)
+            if hasattr(packed, "copy_to_host_async"):
+                packed.copy_to_host_async()
             humans = decode_device.packed_to_humans(
                 jax.device_get(packed), im_pad.shape[0], im_pad.shape[1],
                 self.config,
