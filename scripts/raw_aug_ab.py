@@ -202,6 +202,7 @@ def main():
         for r in EVAL_REGIMES
     } if len(arms) == 2 and not args.no_eval else {}
     gate_pass = bool(deltas) and all(abs(d) <= 0.005 for d in deltas.values())
+    raw_no_worse = bool(deltas) and all(d >= -0.005 for d in deltas.values())
     result = {
         "recipe": f"identical init, {args.steps} steps batch "
                   f"{args.batch}, Adam {args.lr}/wd {args.weight_decay}, "
@@ -213,8 +214,28 @@ def main():
                   f"({jax.devices()[0].device_kind})",
         "arms": arms,
         "regime_ap_delta_raw_minus_host": deltas,
-        "gate": "per regime |AP(raw_aug) - AP(host_aug)| <= 0.005",
+        "gate": "per regime |AP(raw_aug) - AP(host_aug)| <= 0.005 "
+                "(EQUIVALENCE, two-sided)",
         "gate_pass": gate_pass,
+        "raw_no_worse_gate": "per regime AP(raw_aug) >= AP(host_aug) "
+                             "- 0.005 (one-sided)",
+        "raw_no_worse_pass": raw_no_worse,
+        "documented_default": (
+            "--targets device (the reference-shaped host augmentation "
+            "chain) stays the training default; --targets raw is the "
+            "opt-in multi-chip feeding path"
+        ),
+        "interpretation": (
+            "equivalence within 0.005 NOT shown"
+            + (", but raw_aug scored no worse (or better) on every "
+               "regime in this run — the dropped jpeg/grayscale augs "
+               "and f32 device jitter did not cost accuracy at this "
+               "horizon; single-run training noise means the positive "
+               "deltas should not be read as a proven win either"
+               if raw_no_worse else
+               "; raw_aug scored WORSE on at least one regime — use "
+               "--targets device (the default) for final training")
+        ),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
