@@ -317,3 +317,50 @@ def test_prefetch_read_propagates_reader_errors(tmp_path):
                                    dest_size=368, stride=8, depth=2):
             out.append(item)
     assert len(out) <= 1  # only the image before the failure
+
+
+def test_prefetch_read_ticks_tqdm_in_consumer(tmp_path):
+    """A tqdm-wrapped iterator is unwrapped: the reader thread consumes
+    the raw ids while the bar ticks HERE in the consumer as items are
+    yielded (round-4 advisory: the bar ran 2*batch images ahead and
+    updated off the main thread)."""
+    pytest.importorskip("PIL")
+    import threading
+
+    from torch_ekpose_tpu.data.coco import COCO
+    from torch_ekpose_tpu.evaluate.evaluator import _prefetch_read
+
+    img_dir, anno, _ = _build_dataset(tmp_path, n_images=4)
+    coco = COCO(str(anno))
+    img_ids = coco.getImgIds()
+
+    main_thread = threading.get_ident()
+
+    class FakeBar:
+        """Duck-typed tqdm: .iterable + .update + .close."""
+
+        def __init__(self, iterable):
+            self.iterable = iterable
+            self.ticks = 0
+            self.tick_threads = set()
+            self.closed = False
+
+        def update(self, n=1):
+            self.ticks += n
+            self.tick_threads.add(threading.get_ident())
+
+        def close(self):
+            self.closed = True
+
+    bar = FakeBar(iter(img_ids))
+    seen = []
+    for item in _prefetch_read(bar, str(img_dir), coco,
+                               dest_size=368, stride=8, depth=2):
+        # the bar may only have ticked for items ALREADY yielded — never
+        # ahead of the consumer
+        assert bar.ticks <= len(seen) + 1
+        seen.append(item[1])
+    assert seen == list(img_ids)
+    assert bar.ticks == len(img_ids)
+    assert bar.tick_threads == {main_thread}
+    assert bar.closed
