@@ -173,8 +173,23 @@ def main():
         "arms": arms,
         "loss_ema_rel_diff": round(float(ema_rel), 4),
         "ap_bf16_minus_f32": round(float(ap_diff), 4),
-        "gate": "loss EMA within 2% and |AP diff| <= 0.01",
+        "gate": "loss EMA within 2% and |AP diff| <= 0.01 "
+                "(EQUIVALENCE, two-sided)",
         "gate_pass": bool(ema_rel <= 0.02 and abs(ap_diff) <= 0.01),
+        "bf16_no_worse_gate": "AP(bf16) >= AP(f32) - 0.01 (one-sided)",
+        "bf16_no_worse_pass": bool(ap_diff >= -0.01),
+        "default_decision": (
+            "cli.train keeps --dtype float32 as the default: the "
+            "two-sided equivalence gate has now failed at both 400 and "
+            "2000 steps, so bf16 training is NOT numerically equivalent "
+            "— it is an opt-in speed/accuracy trade (--dtype bfloat16), "
+            "measured here at "
+            f"{arms['float32']['train_wall_s'] / max(arms['bfloat16']['train_wall_s'], 1e-9):.2f}x "
+            "faster wall-clock"
+            + (" with NO end-task cost in this run (AP delta "
+               f"{ap_diff:+.4f})" if ap_diff >= -0.01 else
+               f" at an end-task COST (AP delta {ap_diff:+.4f})")
+        ),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
