@@ -96,11 +96,15 @@ def main():
     rows = []
 
     # ---- direct link measurement (same-process, same tunnel state) -----
+    # RANDOM payload: the tunnel compresses in flight, so a constant
+    # probe measures the compressor (634 MB/s observed), not the link
     mb = 1024 * 1024
-    probe = np.zeros((int(args.link_probe_mb * mb // 4),), np.float32)
-    dev_probe = jax.block_until_ready(jnp.asarray(probe))  # warm path
+    rng = np.random.default_rng(0)
+    probe = rng.standard_normal(
+        int(args.link_probe_mb * mb // 4)).astype(np.float32)
+    jax.block_until_ready(jnp.asarray(probe))  # warm path
     t0 = time.perf_counter()
-    dev_probe = jax.block_until_ready(jnp.asarray(probe + 1))
+    dev_probe = jax.block_until_ready(jnp.asarray(probe[::-1].copy()))
     up_s = time.perf_counter() - t0
     dev_probe.copy_to_host_async()
     t0 = time.perf_counter()
@@ -198,11 +202,18 @@ def main():
     pipe_s = time.perf_counter() - t0
 
     # ---- device-link floor (from the MEASURED link, same process) -------
-    floor_s_per_batch = (
-        bytes_up / n_batches / (link["upload_mb_s"] * mb)
-        + bytes_down / n_batches / (link["download_mb_s"] * mb)
-        + 2 * link["rtt_ms"] / 1000.0  # one upload + one fetch round trip
-    )
+    # The tunnel defers uploads until first use and compresses in
+    # flight, so the microbenchmark can read absurdly fast uploads and
+    # near-zero fetch bandwidth on a congested session; in that case the
+    # floor is unmodelable and the per-stage timings are the evidence.
+    if link["download_mb_s"] > 0.05 and link["upload_mb_s"] < 2000:
+        floor_s_per_batch = (
+            bytes_up / n_batches / (link["upload_mb_s"] * mb)
+            + bytes_down / n_batches / (link["download_mb_s"] * mb)
+            + 2 * link["rtt_ms"] / 1000.0  # upload + fetch round trips
+        )
+    else:
+        floor_s_per_batch = None
 
     out = {
         "backend": jax.devices()[0].platform,
@@ -227,10 +238,17 @@ def main():
             "ap": round(float(ap_pipe), 4),
         },
         "link_measured": link,
-        "link_floor": {
-            "floor_s_per_batch": round(floor_s_per_batch, 4),
-            "floor_img_per_s": round(args.batch / floor_s_per_batch, 1),
-        },
+        "link_floor": (
+            {
+                "floor_s_per_batch": round(floor_s_per_batch, 4),
+                "floor_img_per_s": round(
+                    args.batch / floor_s_per_batch, 1),
+            }
+            if floor_s_per_batch else
+            {"unmodelable": "link probe hit deferred-upload/compression "
+                            "artifacts this session; the serialized "
+                            "stage timings are the floor evidence"}
+        ),
         "naive_device_get_s_per_batch": round(naive_fetch_s, 2),
         "overlap_win_s_per_batch": round(
             serial_total / n_batches - pipe_s / (args.images / args.batch),
