@@ -77,17 +77,26 @@ class DecodeResult(NamedTuple):
 # stage 1: peak finding + sub-pixel refinement
 # ---------------------------------------------------------------------------
 
-def _find_topk_peaks(heatmaps: jax.Array, thresh: float, k: int):
+def _find_topk_peaks(
+    heatmaps: jax.Array, thresh: float, k: int, use_pallas: bool = True
+):
     """[H, W, 18] -> (px, py, score, valid), each [18, K].
 
     A peak is a 4-neighborhood local max above ``thresh``
     (reference paf_to_pose.py:34-36). Selection is top-k by score.
+    ``use_pallas=False`` forces the XLA expression — required when the
+    program will be partitioned over a mesh (no shardings for Pallas
+    custom calls) or compiled for non-default-backend devices.
     """
-    from torch_ekpose_tpu.ops.pallas_nms import masked_peak_scores
+    from torch_ekpose_tpu.ops.pallas_nms import (
+        masked_peak_scores,
+        masked_peak_scores_xla,
+    )
 
     h, w, _ = heatmaps.shape
     m = jnp.transpose(heatmaps, (2, 0, 1))                # [18, H, W]
-    masked = masked_peak_scores(m, thresh).reshape(18, h * w)
+    nms = masked_peak_scores if use_pallas else masked_peak_scores_xla
+    masked = nms(m, thresh).reshape(18, h * w)
     score, idx = jax.lax.top_k(masked, k)                 # [18, K]
     py, px = idx // w, idx % w
     valid = score > -jnp.inf
@@ -433,7 +442,7 @@ def _merge_loop_xla(
 
 def _decode_dense(
     heatmaps, pafs, *, stride, n_steps, max_peaks, thresh_heatmap,
-    thresh_paf, thresh_cnt1,
+    thresh_paf, thresh_cnt1, use_pallas=True,
 ):
     """The decoder's dense stages for ONE image: peak finding, sub-pixel
     refinement, and all-pairs limb scoring. Pure batched tensor math —
@@ -444,7 +453,7 @@ def _decode_dense(
     k = max_peaks
 
     px, py, _, peak_valid = _find_topk_peaks(
-        heatmaps[:, :, :18], thresh_heatmap, k
+        heatmaps[:, :, :18], thresh_heatmap, k, use_pallas=use_pallas
     )
     xf, yf, score = _refine_peaks(heatmaps[:, :, :18], px, py, stride)
     # the assembler stores truncated ints (reference pafprocess.h:26-31)
@@ -491,12 +500,13 @@ def decode_jax(
     Pallas loop kernels by running them over an explicit batch grid.
     """
     k = max_peaks
+    on_tpu = use_pallas_loops and jax.default_backend() == "tpu"
     xi, yi, score, peak_valid, limb_scores = _decode_dense(
         heatmaps, pafs, stride=stride, n_steps=n_steps, max_peaks=k,
         thresh_heatmap=thresh_heatmap, thresh_paf=thresh_paf,
-        thresh_cnt1=thresh_cnt1,
+        thresh_cnt1=thresh_cnt1, use_pallas=on_tpu,
     )
-    if use_pallas_loops and jax.default_backend() == "tpu":
+    if on_tpu:
         # all 19 greedy matches as one Pallas program (K lock-step rounds
         # of [19, K]-shaped vector work in VMEM); skipped entirely when no
         # candidate survived scoring (common for empty frames)
@@ -586,7 +596,7 @@ def decode_jax_batched(
         functools.partial(
             _decode_dense, stride=stride, n_steps=n_steps, max_peaks=k,
             thresh_heatmap=thresh_heatmap, thresh_paf=thresh_paf,
-            thresh_cnt1=thresh_cnt1,
+            thresh_cnt1=thresh_cnt1, use_pallas=on_tpu,
         )
     )(heatmaps, pafs)
 

@@ -117,12 +117,20 @@ class ShardedPoseEstimator:
 
             # the shared packed batch decoder, re-jitted with shardings so
             # each chip decodes its own shard and the host fetches once.
-            # Pallas loop kernels only on a 1-chip mesh: XLA cannot infer
-            # shardings for Pallas custom calls when partitioning.
+            # Pallas loop kernels only on a 1-chip mesh (XLA cannot infer
+            # shardings for Pallas custom calls when partitioning) AND
+            # only when the mesh's devices are real TPUs — the program
+            # compiles for the MESH devices, so gating on the default
+            # backend would enable Pallas for a virtual CPU mesh whenever
+            # a TPU backend was initialized first in the same process
+            # (observed: "Only interpret mode is supported on CPU")
+            mesh_is_tpu = all(
+                d.platform == "tpu" for d in self.mesh.devices.flat
+            )
             decode_jit = jax.jit(
                 decode_device.build_packed_decoder(
                     self.config, batched=True,
-                    pallas=self.mesh.size == 1,
+                    pallas=self.mesh.size == 1 and mesh_is_tpu,
                 ),
                 in_shardings=self._data,
                 out_shardings=self._data,

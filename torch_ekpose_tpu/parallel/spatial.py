@@ -117,9 +117,16 @@ class SpatialPoseEstimator:
     def _decode(self, heatmap, paf):
         # single-device decode on the mesh's first chip with the full
         # Pallas kernels (a partitioned program cannot carry them — XLA
-        # cannot infer shardings for custom calls)
+        # cannot infer shardings for custom calls). Gate Pallas on the
+        # TARGET device's platform, not the default backend: on a
+        # virtual CPU mesh created after a TPU backend initialized, the
+        # default-backend gate would lower Pallas for CPU and die with
+        # "Only interpret mode is supported on CPU backend".
         if self._decoder is None:
-            self._decoder = decode_device.build_packed_decoder(self.config)
+            self._decoder = decode_device.build_packed_decoder(
+                self.config,
+                pallas=self.mesh.devices.flat[0].platform == "tpu",
+            )
         dev = self.mesh.devices.flat[0]
         return self._decoder(
             jax.device_put(heatmap, dev), jax.device_put(paf, dev)
